@@ -1,0 +1,393 @@
+"""HoardEngine — the facade tying catalog + ingest + rollup + fetch together.
+
+This is the Spark-native replacement for the reference's five-call API
+(src/hoard.coffee:515-519):
+
+    create / info       -> Catalog (driver-side metadata)
+    update / updateMany -> partitioned Parquet append + LWW-at-read
+    fetch               -> tier routing + pruned scan + spine gap-fill
+
+plus the maintenance jobs a 100 TB deployment needs (compaction, retention
+drop) and the incremental rollup cascade (the reference's propagate).
+
+Storage layout (all append-only Parquet):
+
+    <warehouse>/points/tier=K/metric=M/date=D/   raw aligned points
+        (bucket_ts long, value double, seq long, ts long)
+    <warehouse>/rollups/tier=K/metric=M/date=D/  materialized downsamples
+        (bucket_ts long, value double, known long)
+
+Partitioning by (tier, metric, date) gives partition pruning on every fetch
+(a range fetch touches only the dates it covers) and makes retention drop a
+partition delete. At cluster scale `metric` would be a hashed bucket column
+for very-high-cardinality metric spaces; the layout and code are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hoard_spark.catalog import Catalog, HoardError, MetricInfo
+from hoard_spark.fetch import TimeInfo, collect_values, fetch_df, plan_fetch
+from hoard_spark.functions import align_ts, bucket_date_col
+from hoard_spark.ingest import Ingestor, lww, prepare_batch, validate_single
+from hoard_spark.rollup import merge_direct, plan_cascade, rollup_tier
+
+_POINTS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("tier", T.IntegerType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("date", T.DateType()),
+    ]
+)
+
+_ROLLUP_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("known", T.LongType()),
+        T.StructField("tier", T.IntegerType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("date", T.DateType()),
+    ]
+)
+
+
+def _day_start(date_str: str) -> int:
+    dt = datetime.strptime(date_str, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp())
+
+
+class HoardEngine:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.catalog = Catalog(warehouse_dir)
+        self.points_path = os.path.join(warehouse_dir, "points")
+        self.rollups_path = os.path.join(warehouse_dir, "rollups")
+        self._seq_path = os.path.join(warehouse_dir, "_hoard_seq.json")
+        self._seq: dict[str, int] = {}
+        if os.path.exists(self._seq_path):
+            with open(self._seq_path) as f:
+                self._seq = json.load(f)
+        self.ingestor = Ingestor(spark, self.catalog, self.points_path)
+
+    # ------------------------------------------------------------------ DDL
+    def create(
+        self,
+        metric: str,
+        archives: list[tuple[int, int]],
+        x_files_factor: float = 0.5,
+        now: int | None = None,
+    ) -> MetricInfo:
+        """Reference create() (O1, src/hoard.coffee:30-69)."""
+        return self.catalog.create(metric, archives, x_files_factor, now)
+
+    def info(self, metric: str) -> MetricInfo:
+        """Reference info() (O2, src/hoard.coffee:392-424)."""
+        return self.catalog.info(metric)
+
+    # -------------------------------------------------------------- ingest
+    def _next_seq(self, metric: str, n: int) -> int:
+        start = self._seq.get(metric, 0)
+        self._seq[metric] = start + n
+        tmp = self._seq_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._seq, f)
+        os.replace(tmp, self._seq_path)
+        return start
+
+    def update(
+        self, metric: str, value: float, ts: int, now: int | None = None
+    ) -> None:
+        """Single-point write (O3, src/hoard.coffee:181-239).
+
+        Unlike the reference — whose single-update propagation is commented
+        out (:227-238, a documented divergence from Python Whisper) — this
+        engine propagates, per intended Whisper semantics (SURVEY.md §5.3).
+        """
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metric)
+        validate_single(info, int(ts), now)
+        self.update_many(metric, [(int(ts), float(value))], now=now)
+
+    def update_many(
+        self,
+        metric: str,
+        points: list[tuple[int, float]],
+        now: int | None = None,
+        propagate: bool = True,
+    ) -> DataFrame:
+        """Batch write (O4/O5, src/hoard.coffee:241-390).
+
+        Within one call, points are applied in chronological order (the
+        reference sorts each archive's batch back to chronological before
+        committing, :242, :284), so the newest timestamp wins a bucket;
+        across calls, the later call wins (slot overwrite). Both collapse to
+        LWW on a ``seq`` assigned here in (ts, input-position) order.
+        """
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metric)
+        if not points:
+            return None
+        ordered = sorted(
+            range(len(points)), key=lambda i: (points[i][0], i)
+        )  # stable chronological order
+        base = self._next_seq(metric, len(points))
+        df = self.ingestor.points_batch(
+            metric, [points[i] for i in ordered], seq_start=base
+        )
+        prepared = self.ingest_df(metric, df, now=now, propagate=propagate)
+        return prepared
+
+    def ingest_df(
+        self,
+        metric: str,
+        df: DataFrame,
+        now: int | None = None,
+        propagate: bool = True,
+    ) -> DataFrame:
+        """DataFrame ingest for one metric: columns (metric, ts, value, seq).
+
+        The scalable entry point: validity filter + tier routing + aligned
+        append, then incremental rollup scoped to the touched buckets.
+        """
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metric)
+        prepared = self.ingestor.append(df, info, now)
+        self.catalog.touch(metric, now)
+        if propagate and len(info.archives) > 1:
+            self.propagate(metric, batch=prepared)
+        return prepared
+
+    # ------------------------------------------------------------- reading
+    def _read_points(self) -> DataFrame:
+        if not os.path.isdir(self.points_path):
+            return self.spark.createDataFrame([], _POINTS_READ_SCHEMA)
+        try:
+            return self.spark.read.schema(_POINTS_READ_SCHEMA).parquet(
+                self.points_path
+            )
+        except Exception:
+            return self.spark.createDataFrame([], _POINTS_READ_SCHEMA)
+
+    def _read_rollups(self) -> DataFrame:
+        if not os.path.isdir(self.rollups_path):
+            return self.spark.createDataFrame([], _ROLLUP_READ_SCHEMA)
+        try:
+            return self.spark.read.schema(_ROLLUP_READ_SCHEMA).parquet(
+                self.rollups_path
+            )
+        except Exception:
+            return self.spark.createDataFrame([], _ROLLUP_READ_SCHEMA)
+
+    def _direct_lww(self, metric: str, tier: int) -> DataFrame:
+        pts = self._read_points().where(
+            (F.col("tier") == tier) & (F.col("metric") == metric)
+        )
+        return lww(pts).select("metric", "bucket_ts", "value")
+
+    def tier_view(
+        self, metric: str, tier: int, use_materialized: bool = True
+    ) -> DataFrame:
+        """LWW-normalized view of one tier: (metric, bucket_ts, value).
+
+        Tier 0 is the dedup view over raw appends; coarser tiers read the
+        materialized rollup when present, else compute the cascade on the
+        fly (correctness never depends on maintenance having run).
+        """
+        info = self.catalog.info(metric)
+        if tier == 0:
+            return self._direct_lww(metric, 0)
+        if use_materialized:
+            tier_dir = os.path.join(
+                self.rollups_path, f"tier={tier}", f"metric={metric}"
+            )
+            if os.path.isdir(tier_dir):
+                return (
+                    self._read_rollups()
+                    .where((F.col("tier") == tier) & (F.col("metric") == metric))
+                    .select("metric", "bucket_ts", "value")
+                )
+        higher = info.archives[tier - 1]
+        lower = info.archives[tier]
+        rolled = rollup_tier(
+            self.tier_view(metric, tier - 1, use_materialized),
+            lower.seconds_per_point,
+            higher.seconds_per_point,
+            info.x_files_factor,
+        )
+        return merge_direct(rolled, self._direct_lww(metric, tier)).select(
+            "metric", "bucket_ts", "value"
+        )
+
+    # -------------------------------------------------------------- rollup
+    def propagate(self, metric: str, batch: DataFrame | None = None) -> None:
+        """Materialize the rollup cascade (O6, src/hoard.coffee:71-178).
+
+        With ``batch`` (a prepared ingest batch) the recompute is scoped to
+        the (metric, date) rollup partitions the batch touched — the
+        generalized ``_.uniq`` propagate-target dedup (:373-378) — and
+        written with dynamic partition overwrite. Without it, a full rebuild.
+        """
+        info = self.catalog.info(metric)
+        cascade = plan_cascade(info)
+        if not cascade:
+            return
+
+        touched_dates: list[str] | None = None
+        if batch is not None:
+            batch = batch.select("tier", "bucket_ts").cache()
+
+        for tier_k, higher_spp, lower_spp in cascade:
+            higher_view = self.tier_view(metric, tier_k - 1)
+
+            if batch is not None:
+                # Dates of lower buckets affected by this batch at this tier:
+                # rows routed to finer tiers cascade down; rows routed
+                # directly to this tier land as-is; coarser rows don't touch
+                # this tier.
+                rows = (
+                    batch.where(F.col("tier") <= tier_k)
+                    .select(
+                        bucket_date_col(
+                            F.col("bucket_ts")
+                            - F.pmod(F.col("bucket_ts"), F.lit(lower_spp))
+                        ).alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                touched_dates = sorted({str(r["d"]) for r in rows})
+                if not touched_dates:
+                    continue
+                lo = _day_start(touched_dates[0])
+                hi = _day_start(touched_dates[-1]) + 86400 + lower_spp
+                higher_view = higher_view.where(
+                    (F.col("bucket_ts") >= align_ts(lo, lower_spp))
+                    & (F.col("bucket_ts") < hi)
+                )
+
+            rolled = rollup_tier(
+                higher_view, lower_spp, higher_spp, info.x_files_factor
+            )
+            merged = merge_direct(rolled, self._direct_lww(metric, tier_k))
+            out = (
+                merged.withColumn("tier", F.lit(tier_k))
+                .withColumn("date", bucket_date_col(F.col("bucket_ts")))
+            )
+            if touched_dates is not None:
+                out = out.where(
+                    F.col("date").isin([datetime.strptime(d, "%Y-%m-%d").date() for d in touched_dates])
+                )
+            (
+                out.select(
+                    "bucket_ts", "value", "known", "tier", "metric", "date"
+                )
+                .sortWithinPartitions("bucket_ts")
+                .write.partitionBy("tier", "metric", "date")
+                .mode("overwrite")  # dynamic: only written partitions replaced
+                .parquet(self.rollups_path)
+            )
+
+        if batch is not None:
+            batch.unpersist()
+
+    # --------------------------------------------------------------- fetch
+    def fetch(
+        self, metric: str, from_ts: int, to_ts: int, now: int | None = None
+    ) -> tuple[TimeInfo, list[float | None]]:
+        """Range query (O7): ``(timeInfo, values)`` exactly as the reference."""
+        ti, result = self.fetch_dataframe(metric, from_ts, to_ts, now)
+        return ti, collect_values(result, ti)
+
+    def fetch_dataframe(
+        self, metric: str, from_ts: int, to_ts: int, now: int | None = None
+    ) -> tuple[TimeInfo, DataFrame]:
+        """Distributed fetch: the gap-filled result as an unactioned plan."""
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metric)
+        archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
+        view = self.tier_view(metric, archive.tier)
+        return ti, fetch_df(view, ti)
+
+    # --------------------------------------------------------- maintenance
+    def compact(self, metric: str | None = None) -> None:
+        """Fold LWW physically: rewrite each tier's points with one row per
+        bucket (keeps max seq so later appends still win correctly).
+
+        The Spark analog of the ring buffer's implicit in-place dedup; run
+        periodically so read-side dedup cost stays bounded.
+        """
+        pts = self._read_points()
+        if metric is not None:
+            pts = pts.where(F.col("metric") == metric)
+        folded = (
+            pts.groupBy("metric", "tier", "bucket_ts")
+            .agg(
+                F.max_by("value", "seq").alias("value"),
+                F.max("seq").alias("seq"),
+                F.max("ts").alias("ts"),
+            )
+            .withColumn("date", bucket_date_col(F.col("bucket_ts")))
+            .select("bucket_ts", "value", "seq", "ts", "tier", "metric", "date")
+        )
+        tmp = self.points_path + "_compacting"
+        (
+            folded.sortWithinPartitions("bucket_ts")
+            .write.partitionBy("tier", "metric", "date")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        if metric is None:
+            shutil.rmtree(self.points_path, ignore_errors=True)
+            os.replace(tmp, self.points_path)
+        else:
+            # swap only this metric's partitions
+            for tier_dir in sorted(os.listdir(tmp)):
+                if not tier_dir.startswith("tier="):
+                    continue
+                src = os.path.join(tmp, tier_dir, f"metric={metric}")
+                dst = os.path.join(self.points_path, tier_dir, f"metric={metric}")
+                if os.path.isdir(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def drop_expired(self, metric: str, now: int | None = None) -> list[str]:
+        """Retention enforcement: delete (tier, metric, date) partitions whose
+        whole day lies past the tier's retention — the ring buffer's eviction
+        (src/hoard.coffee:217-222) as a partition drop, no data rewrite.
+        """
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metric)
+        dropped: list[str] = []
+        for root in (self.points_path, self.rollups_path):
+            if not os.path.isdir(root):
+                continue
+            for a in info.archives:
+                cutoff = now - a.retention
+                tier_dir = os.path.join(root, f"tier={a.tier}", f"metric={metric}")
+                if not os.path.isdir(tier_dir):
+                    continue
+                for d in sorted(os.listdir(tier_dir)):
+                    if not d.startswith("date="):
+                        continue
+                    day_end = _day_start(d.split("=", 1)[1]) + 86400
+                    if day_end <= cutoff:
+                        shutil.rmtree(os.path.join(tier_dir, d))
+                        dropped.append(os.path.join(tier_dir, d))
+        return dropped

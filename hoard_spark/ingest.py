@@ -1,0 +1,150 @@
+"""Batch ingest — the Spark-native update / updateMany paths.
+
+Reference semantics reproduced (citations into /root/reference):
+
+- ``update`` (O3, src/hoard.coffee:181-239): reject future timestamps and
+  points at/past maxRetention (``0 <= now - ts < maxRetention``, :186-189);
+  route to the highest-precision archive whose retention covers the point's
+  age (:192-198); align to the bucket start (:203); last-write-wins per
+  (metric, bucket) slot (:213, :223).
+- ``updateMany`` (O4, :241-293): same age routing per point (:254-277),
+  points older than the oldest archive are dropped silently (:274-275).
+- ``updateManyArchive`` (O5, :295-390): alignment + packed writes. The
+  run-coalescing machinery (and its concat bug, SURVEY.md §5.3) has no Spark
+  analog — the *contract* is last-write-wins per bucket, which we implement
+  with an explicit monotone ingest sequence ``seq`` as the tie-break.
+
+Spark design: ingest is a pure append of aligned rows into a Parquet table
+partitioned by ``(tier, metric, date)``; there is no in-place overwrite at
+100 TB. LWW is enforced at read (window/max_by over ``seq``) and folded in
+physically by the compaction job (engine.compact). Appends are cheap and
+contention-free; dedup cost rides on buckets actually read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoard_spark.catalog import Catalog, HoardError, MetricInfo
+from hoard_spark.functions import align_col, bucket_date_col
+
+POINTS_SCHEMA = "metric string, ts long, value double, seq long"
+
+
+def prepare_batch(
+    df: DataFrame,
+    info: MetricInfo,
+    now: int,
+    strict_future: bool = False,
+) -> DataFrame:
+    """Validate, route and align one metric's raw points.
+
+    Input columns: ``metric, ts, value, seq`` (epoch seconds). Output adds
+    ``tier`` (routed archive), ``bucket_ts`` (aligned) and ``date``
+    (partition column) and drops invalid points:
+
+    - future points (``ts > now``) are dropped (update() rejects them with an
+      error, src/hoard.coffee:186-189; updateMany's batch path silently skips
+      invalid points — set ``strict_future=True`` for the erroring variant,
+      which the engine does for single-point update()).
+    - points with ``age >= maxRetention`` are dropped (:274-275).
+
+    Everything below is built-in column expressions — the routing CASE is a
+    chain of ``when`` clauses over the (few) archive tiers, so the whole
+    batch stays inside whole-stage codegen; no Python UDF.
+    """
+    age = F.lit(int(now)) - F.col("ts")
+    df = df.where((age >= 0) & (age < F.lit(info.max_retention)))
+
+    # Route each point to the highest-precision archive covering its age
+    # (first archive with retention >= age — src/hoard.coffee:192-198).
+    routing = None
+    for a in info.archives:
+        cond = age <= F.lit(a.retention)
+        routing = F.when(cond, F.lit(a.tier)) if routing is None else routing.when(
+            cond, F.lit(a.tier)
+        )
+    df = df.withColumn("tier", routing.cast("int"))
+
+    # Align to the routed tier's bucket width (src/hoard.coffee:203, 296-300).
+    bucket = None
+    for a in info.archives:
+        expr = align_col(F.col("ts"), a.seconds_per_point)
+        bucket = (
+            F.when(F.col("tier") == a.tier, expr)
+            if bucket is None
+            else bucket.when(F.col("tier") == a.tier, expr)
+        )
+    df = df.withColumn("bucket_ts", bucket.cast("long"))
+    df = df.withColumn("date", bucket_date_col(F.col("bucket_ts")))
+    return df.select("metric", "tier", "bucket_ts", "date", "value", "seq", "ts")
+
+
+def lww(df: DataFrame) -> DataFrame:
+    """Collapse duplicate (metric, tier, bucket_ts) rows to last-write-wins.
+
+    ``max_by(value, seq)`` is a JVM-side declarative aggregate — one shuffle
+    on the group keys, map-side partial aggregation included. ``seq`` is the
+    determinism anchor (SURVEY.md §7 hard part 1).
+    """
+    return df.groupBy("metric", "tier", "bucket_ts").agg(
+        F.max_by("value", "seq").alias("value"),
+        F.max("seq").alias("seq"),
+    )
+
+
+class Ingestor:
+    """Writes prepared batches into the points table."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, points_path: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.points_path = points_path
+
+    def append(self, df: DataFrame, info: MetricInfo, now: int) -> DataFrame:
+        """Validate + route + append one metric's batch.
+
+        Returns the prepared batch (for incremental rollup scoping). The
+        write is a plain partitioned append: no shuffle, no read-modify-write
+        — the scalable half of the LWW design.
+        """
+        prepared = prepare_batch(df, info, now)
+        # Cluster rows within each output file by bucket for row-group
+        # locality — the Spark analog of the reference's contiguous-run write
+        # coalescing (src/hoard.coffee:302-323).
+        (
+            prepared.sortWithinPartitions("metric", "bucket_ts")
+            .write.partitionBy("tier", "metric", "date")
+            .mode("append")
+            .parquet(self.points_path)
+        )
+        return prepared
+
+    def points_batch(
+        self,
+        metric: str,
+        points: list[tuple[int, float]],
+        seq_start: int,
+    ) -> DataFrame:
+        """Build a raw-points DataFrame from ``[(ts, value), ...]``.
+
+        ``seq`` is assigned by list position: the reference's contract is
+        that a later write to the same bucket wins (slot overwrite,
+        src/hoard.coffee:223), so ingest order is the tie-break.
+        """
+        rows = [
+            (metric, int(ts), float(v), seq_start + i)
+            for i, (ts, v) in enumerate(points)
+        ]
+        return self.spark.createDataFrame(rows, POINTS_SCHEMA)
+
+
+def validate_single(info: MetricInfo, ts: int, now: int) -> None:
+    """update()'s strict age check (src/hoard.coffee:186-189)."""
+    age = now - ts
+    if not (0 <= age < info.max_retention):
+        raise HoardError(
+            f"timestamp not covered by any archive of {info.metric} "
+            f"(age={age}s, maxRetention={info.max_retention}s)"
+        )
