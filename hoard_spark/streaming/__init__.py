@@ -1,0 +1,3 @@
+from hoard_spark.streaming.ingest import start_ingest
+
+__all__ = ["start_ingest"]
