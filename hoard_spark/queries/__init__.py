@@ -53,6 +53,20 @@ def query(name: str, description: str, oracle: str | None, survey_ref: str):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark 4.x refuses
+    to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as raw
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
+    exact integer arithmetic — ``timestamp_micros(ts DIV 1000)`` — rather
+    than a double division, which would lose precision at 1.7e18 ns.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -71,6 +85,11 @@ def dsum(col: Column) -> Column:
 
 def all_queries() -> dict[str, Query]:
     # import side-effect: populate REGISTRY
-    from hoard_spark.queries import llm, relational, timeseries  # noqa: F401
+    import importlib
 
+    for mod in ("timeseries", "relational", "llm"):
+        try:
+            importlib.import_module(f"hoard_spark.queries.{mod}")
+        except ImportError:  # module not yet implemented this round
+            pass
     return dict(REGISTRY)

@@ -56,16 +56,18 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
                max_by(value, event_id) AS v
         FROM events GROUP BY 1, 2
     )
-    SELECT event_type, date_trunc('day', bucket) AS day,
+    SELECT event_type, CAST(date_trunc('day', bucket) AS DATE) AS day,
            ROUND(AVG(v), 4) AS cf, COUNT(*) AS known
     FROM t0 GROUP BY 1, 2 HAVING COUNT(*) >= 12 ORDER BY 1, 2
     """,
     "SURVEY.md §2C Q2 (O6; src/hoard.coffee:153-156)",
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day as DATE on both sides: DuckDB's date_trunc('day', ts) yields DATE
+    # while Spark's yields TIMESTAMP — cast both to DATE (VERDICT.md r1 #3).
     return (
         _t0(spark, sf_dir)
-        .groupBy("event_type", F.date_trunc("day", "bucket").alias("day"))
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "bucket")).alias("day"))
         .agg(F.round(F.avg("v"), 4).alias("cf"), F.count("*").alias("known"))
         .where(F.col("known") >= 12)
         .orderBy("event_type", "day")
