@@ -76,6 +76,39 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def dround(col: Column, n: int = 4) -> Column:
+    """Boundary-stable ROUND for decimal-ish doubles.
+
+    Much of the testdata is 2-4dp decimal, so derived products/averages
+    hit TRUE midpoint ties at 4dp (e.g. 73372.9*0.95*1.07 = 74583.55285
+    exactly). Spark rounds the double's shortest decimal representation
+    (BigDecimal.valueOf) while DuckDB rounds the exact binary expansion —
+    the two disagree on such ties. Routing through DECIMAL(25,10) first
+    makes both engines recover the intended decimal value, then decimal
+    ROUND (half-away-from-zero in both) is exact. Oracle twin:
+    ``ROUND(CAST(x AS DECIMAL(25,10)), 4)``.
+    """
+    return F.round(col.cast("decimal(25,10)"), n).cast("double")
+
+
+def dsum10(col: Column | str) -> Column:
+    """Exact DECIMAL(25,10) accumulation, cast back to double — makes a
+    double SUM independent of Spark's partial-aggregation order. Oracle
+    twin: ``CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(25,10)")).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent AVG: exact decimal sum / count, boundary-stable
+    round. Spark's parallel double AVG drifts ~1e-13 run-to-run with the
+    merge order, which flips ROUND(x, 4) on midpoint values. Oracle twin:
+    ``CAST(ROUND(CAST(CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)
+    / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dround(dsum10(c) / F.count(c))
+
+
 def dsum(col: Column) -> Column:
     """Order-independent SUM for doubles: exact DECIMAL(38,6) accumulation,
     result cast back to double. Oracle twin:

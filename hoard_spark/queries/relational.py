@@ -1,0 +1,727 @@
+"""Q6-Q30 — the relational/analytics surface (SURVEY.md §2C).
+
+The reference has none of this (SURVEY §2B: joins/grouping/windows/set
+ops/scalar functions all ❌) — it is the north-star value-add, expressed
+entirely with built-in Spark operators so Catalyst plans it: filters and
+projections push into the parquet scan, small dimension tables broadcast,
+aggregates get map-side partial combine, top-k becomes
+TakeOrderedAndProject.
+
+Determinism conventions (module docstring in ``hoard_spark.queries``):
+- every floating SUM over many rows accumulates in DECIMAL(38,6)
+  (``dsum``) so parallel summation order cannot drift vs DuckDB;
+- computed integer outputs are cast to BIGINT on BOTH sides (DuckDB
+  widens int sums to HUGEINT, returns DOUBLE for ceil/floor, BIGINT for
+  EXTRACT — explicit casts pin one common type);
+- total ORDER BY everywhere; top-k ties broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoard_spark.queries import davg, dround, dsum, load, query
+
+
+# --------------------------------------------------------------------------
+# filters / projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q06_filter",
+    "conjunctive predicates: range + IN + date comparison, pushed to scan",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= DATE '1995-01-01'
+    ORDER BY 1, 2
+    """,
+    "SURVEY.md §2C Q6",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q07_projection_math",
+    "projection with scalar arithmetic (net price with discount and tax)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS net
+    FROM lineitem ORDER BY 1, 2
+    """,
+    "SURVEY.md §2C Q7",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    net = (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", dround(net).alias("net"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins (all kinds)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q08_inner_join_agg",
+    "inner equi-join orders⋈customer (broadcast dim) + grouped aggregate",
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "SURVEY.md §2C Q8",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(dsum(F.col("o_totalprice")), 4).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q09_left_join",
+    "left outer join: customers with their order counts (0 for none)",
+    """
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "SURVEY.md §2C Q9",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q10_full_join",
+    "full outer join nation⟗supplier with NULLS FIRST ordering",
+    """
+    SELECT n.n_name, s.s_suppkey
+    FROM nation n FULL JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+    """,
+    "SURVEY.md §2C Q10",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey, "full")
+        .select("n_name", "s_suppkey")
+        .orderBy(
+            F.col("n_name").asc_nulls_first(), F.col("s_suppkey").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "q11_semi_join",
+    "left semi join: parts with any high-quantity lineitem",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    ORDER BY 1
+    """,
+    "SURVEY.md §2C Q11",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    big = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        part.join(big, big.l_partkey == part.p_partkey, "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q12_anti_join",
+    "left anti join: customers with no orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY 1
+    """,
+    "SURVEY.md §2C Q12",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q13_cross_join",
+    "cross join region × nation (tiny-side cartesian)",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n ORDER BY 1, 2
+    """,
+    "SURVEY.md §2C Q13",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(F.broadcast(nation))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q14_theta_join",
+    "equi key + non-equi residual (l_quantity > p_size stays a hash join)",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    ORDER BY 1, 2, 3
+    """,
+    "SURVEY.md §2C Q14",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (lineitem.l_partkey == part.p_partkey) & (
+        lineitem.l_quantity > part.p_size
+    )
+    return (
+        lineitem.join(F.broadcast(part), cond, "inner")
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+    )
+
+
+@query(
+    "q15_multiway_join",
+    "TPC-H Q3 shape: customer⋈orders⋈lineitem, filtered, top-10 revenue",
+    """
+    SELECT o.o_orderkey,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 4) AS rev
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY rev DESC, o_orderkey LIMIT 10
+    """,
+    "SURVEY.md §2C Q15",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev_term = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey,
+                    "inner",
+                ).select("o_orderkey")
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.round(dsum(rev_term), 4).alias("rev"))
+        .orderBy(F.col("rev").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct / grouping sets / rollup / cube / stats aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16_exact_distinct",
+    "exact multi-column COUNT(DISTINCT)",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+    FROM orders
+    """,
+    "SURVEY.md §2C Q16",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+_GROUPED_AGG_SQL = """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS sum_qty
+    FROM lineitem GROUP BY {clause}
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+"""
+
+
+def _grouped_agg(df: DataFrame, grouped) -> DataFrame:
+    return grouped.agg(
+        F.count("*").alias("n"),
+        F.round(dsum(F.col("l_quantity")), 4).alias("sum_qty"),
+    ).orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
+    )
+
+
+@query(
+    "q17_grouping_sets",
+    "GROUPING SETS ((flag,status),(flag),())",
+    _GROUPED_AGG_SQL.format(
+        clause="GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
+    ),
+    "SURVEY.md §2C Q17",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem")
+    grouped = df.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return _grouped_agg(df, grouped)
+
+
+@query(
+    "q18_rollup",
+    "GROUP BY ROLLUP (flag, status)",
+    _GROUPED_AGG_SQL.format(clause="ROLLUP (l_returnflag, l_linestatus)"),
+    "SURVEY.md §2C Q18",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem")
+    return _grouped_agg(df, df.rollup("l_returnflag", "l_linestatus"))
+
+
+@query(
+    "q19_cube",
+    "GROUP BY CUBE (flag, status)",
+    _GROUPED_AGG_SQL.format(clause="CUBE (l_returnflag, l_linestatus)"),
+    "SURVEY.md §2C Q19",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem")
+    return _grouped_agg(df, df.cube("l_returnflag", "l_linestatus"))
+
+
+@query(
+    "q20_stats_aggs",
+    "count/avg/stddev_samp/min/max/sum battery per group",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,10)))
+                                AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(CAST(SQRT((CAST(SUM(CAST(l_quantity * l_quantity
+                                             AS DECIMAL(38,6))) AS DOUBLE)
+                                 - POWER(CAST(SUM(CAST(l_quantity
+                                             AS DECIMAL(38,6))) AS DOUBLE), 2)
+                                   / COUNT(*)) / (COUNT(*) - 1))
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS sd_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+               AS sum_price
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "SURVEY.md §2C Q20",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            davg("l_quantity").alias("avg_qty"),
+            dround(
+                F.sqrt(
+                    (
+                        dsum(F.col("l_quantity") * F.col("l_quantity"))
+                        - F.pow(dsum(F.col("l_quantity")), 2) / F.count("*")
+                    )
+                    / (F.count("*") - 1)
+                )
+            ).alias("sd_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 4).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q21_ranking_windows",
+    "row_number/rank/dense_rank over per-customer price order",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    "SURVEY.md §2C Q21",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q22_lag_delta",
+    "lag with default: per-type value delta in ingest order",
+    """
+    SELECT event_type, event_id,
+           CAST(ROUND(CAST(value - LAG(value, 1, 0.0)
+                 OVER (PARTITION BY event_type ORDER BY event_id)
+                 AS DECIMAL(25,10)), 4) AS DOUBLE) AS delta
+    FROM events ORDER BY event_type, event_id
+    """,
+    "SURVEY.md §2C Q22",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            dround(F.col("value") - F.lag("value", 1, 0.0).over(w)).alias(
+                "delta"
+            ),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
+    "q23_moving_avg",
+    "frame spec: 4-row trailing moving average per event type",
+    """
+    SELECT event_type, event_id,
+           CAST(ROUND(CAST(AVG(value) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(25,10)), 4) AS DOUBLE) AS mavg
+    FROM events ORDER BY event_type, event_id
+    """,
+    "SURVEY.md §2C Q23",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            dround(F.avg("value").over(w)).alias("mavg"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
+    "q24_ntile",
+    "ntile(4) quartiles over a total price order",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS quartile
+    FROM orders ORDER BY o_orderkey
+    """,
+    "SURVEY.md §2C Q24",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# top-k / set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q25_topk",
+    "top-20 orders by price (TakeOrderedAndProject, unique tie-break)",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "SURVEY.md §2C Q25",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q26_set_ops",
+    "INTERSECT / EXCEPT / UNION / UNION ALL in one labelled result",
+    """
+    SELECT 'intersect' AS op, CAST(k AS BIGINT) AS k FROM
+        (SELECT c_nationkey AS k FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, CAST(k AS BIGINT) AS k FROM
+        (SELECT c_nationkey AS k FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_n' AS op, CAST(COUNT(*) AS BIGINT) AS k FROM
+        (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_all_n' AS op, CAST(COUNT(*) AS BIGINT) AS k FROM
+        (SELECT c_nationkey FROM customer
+         UNION ALL SELECT s_nationkey FROM supplier)
+    ORDER BY 1, 2
+    """,
+    "SURVEY.md §2C Q26",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").cast("long").alias("k"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").cast("long").alias("k"))
+    )
+    labelled = [
+        cust.intersect(supp).select(F.lit("intersect").alias("op"), "k"),
+        cust.subtract(supp).select(F.lit("except").alias("op"), "k"),
+        cust.union(supp)
+        .distinct()
+        .agg(F.count("*").alias("k"))
+        .select(F.lit("union_n").alias("op"), "k"),
+        cust.union(supp)
+        .agg(F.count("*").alias("k"))
+        .select(F.lit("union_all_n").alias("op"), "k"),
+    ]
+    out = labelled[0]
+    for part in labelled[1:]:
+        out = out.union(part)
+    return out.orderBy("op", "k")
+
+
+# --------------------------------------------------------------------------
+# scalar function batteries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q27_string_fns",
+    "upper/lower/substring/length/replace/trim/lpad/concat battery",
+    """
+    SELECT p_partkey, UPPER(p_brand) AS up, LOWER(p_type) AS lo,
+           SUBSTRING(p_name, 1, 8) AS sub,
+           CAST(LENGTH(p_name) AS BIGINT) AS len,
+           REPLACE(p_type, ' ', '_') AS rep, TRIM(p_name) AS trm,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+           CONCAT(p_brand, ':', p_type) AS cat
+    FROM part ORDER BY 1
+    """,
+    "SURVEY.md §2C Q27",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("up"),
+            F.lower("p_type").alias("lo"),
+            F.substring("p_name", 1, 8).alias("sub"),
+            F.length("p_name").cast("long").alias("len"),
+            F.replace("p_type", F.lit(" "), F.lit("_")).alias("rep"),
+            F.trim("p_name").alias("trm"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("pad"),
+            F.concat("p_brand", F.lit(":"), "p_type").alias("cat"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q28_date_fns",
+    "extract/date_trunc/interval arithmetic battery",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+           date_trunc('month', o_orderdate) AS mstart,
+           o_orderdate + INTERVAL 30 DAY AS plus30
+    FROM orders ORDER BY 1
+    """,
+    "SURVEY.md §2C Q28",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.date_trunc("month", "o_orderdate").alias("mstart"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("plus30"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q29_math_fns",
+    "abs/ceil/floor/sqrt/power/ln/exp/log10/modulo battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 4) AS ad,
+           CAST(CEIL(l_quantity) AS BIGINT) AS cl,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
+           ROUND(SQRT(l_extendedprice), 4) AS sq,
+           ROUND(POWER(l_tax + 1, 2), 4) AS pw,
+           ROUND(LN(l_extendedprice), 4) AS lg,
+           ROUND(EXP(l_discount), 4) AS ex,
+           ROUND(LOG10(l_extendedprice), 4) AS l10,
+           CAST(CAST(l_quantity AS INT) % 7 AS BIGINT) AS md
+    FROM lineitem ORDER BY 1, 2
+    """,
+    "SURVEY.md §2C Q29",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("ad"),
+            F.ceil("l_quantity").cast("long").alias("cl"),
+            F.floor("l_quantity").cast("long").alias("fl"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+            F.round(F.pow(F.col("l_tax") + 1, 2), 4).alias("pw"),
+            F.round(F.log(F.col("l_extendedprice")), 4).alias("lg"),
+            F.round(F.exp("l_discount"), 4).alias("ex"),
+            F.round(F.log10("l_extendedprice"), 4).alias("l10"),
+            (F.col("l_quantity").cast("int") % 7).cast("long").alias("md"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q30_conditional",
+    "CASE/COALESCE/NULLIF battery",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status
+    FROM orders ORDER BY 1
+    """,
+    "SURVEY.md §2C Q30",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+    )
+    status = F.coalesce(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", bucket.alias("bucket"), status.alias("status"))
+        .orderBy("o_orderkey")
+    )

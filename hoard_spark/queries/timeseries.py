@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import load, query
+from hoard_spark.queries import davg, dsum10, load, query
 
 # Window/clock constants for Q4/Q5 (events span 2024-01-01 .. 2024-01-30).
 Q4_FROM = "2024-01-10 06:30:00"
@@ -57,7 +57,9 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, CAST(date_trunc('day', bucket) AS DATE) AS day,
-           ROUND(AVG(v), 4) AS cf, COUNT(*) AS known
+           CAST(ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE) AS cf,
+           COUNT(*) AS known
     FROM t0 GROUP BY 1, 2 HAVING COUNT(*) >= 12 ORDER BY 1, 2
     """,
     "SURVEY.md §2C Q2 (O6; src/hoard.coffee:153-156)",
@@ -68,7 +70,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t0(spark, sf_dir)
         .groupBy("event_type", F.to_date(F.date_trunc("day", "bucket")).alias("day"))
-        .agg(F.round(F.avg("v"), 4).alias("cf"), F.count("*").alias("known"))
+        .agg(davg("v").alias("cf"), F.count("*").alias("known"))
         .where(F.col("known") >= 12)
         .orderBy("event_type", "day")
     )
@@ -83,10 +85,13 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
                max_by(value, event_id) AS v
         FROM events GROUP BY 1, 2
     ), t1 AS (
-        SELECT event_type, date_trunc('day', bucket) AS day, AVG(v) AS v
+        SELECT event_type, date_trunc('day', bucket) AS day,
+               CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS v
         FROM t0 GROUP BY 1, 2
     )
-    SELECT event_type, ROUND(AVG(v), 4) AS cf
+    SELECT event_type,
+           CAST(ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE) AS cf
     FROM t1 GROUP BY 1 ORDER BY 1
     """,
     "SURVEY.md §2C Q3 (O6 cascade; src/hoard.coffee:364-379)",
@@ -95,11 +100,11 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1 = (
         _t0(spark, sf_dir)
         .groupBy("event_type", F.date_trunc("day", "bucket").alias("day"))
-        .agg(F.avg("v").alias("v"))
+        .agg((dsum10("v") / F.count("v")).alias("v"))
     )
     return (
         t1.groupBy("event_type")
-        .agg(F.round(F.avg("v"), 4).alias("cf"))
+        .agg(davg("v").alias("cf"))
         .orderBy("event_type")
     )
 
