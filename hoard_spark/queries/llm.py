@@ -1,0 +1,675 @@
+"""Q31+ — LLM-training-data pipeline operators (SURVEY.md §2C Q31-Q35 and
+the extended dedup/similarity/text-analysis family).
+
+All hot paths are JVM-side higher-order functions (transform / aggregate /
+zip_with / array_*) — no Python UDFs. The scale-sensitive operators follow
+the bucketed-join discipline: MinHash-LSH (q35) and SimHash (q36) generate
+candidate pairs ONLY via equi-joins on (band_id, band_hash) buckets —
+never an all-pairs crossJoin — so the plan survives a 100 TB documents
+table. Exact quadratic forms exist only as bounded oracle twins (q34 is
+label-blocked; q37 is (lang, source)-blocked; q38 is 10 query vectors).
+
+Determinism: xxhash64 with fixed seed literals; every output has a total
+ORDER BY; float outputs go through the dround/decimal discipline of
+``hoard_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hoard_spark.queries import dround, load, query
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# word 3-gram shingle set (distinct), from whitespace tokens.
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
+    "element_at(toks, CAST(i + 1 AS INT)), "
+    "element_at(toks, CAST(i + 2 AS INT)))))"
+)
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, lang, source, sh: array<string> of 3-gram
+    shingles). Docs with <3 tokens are dropped (no shingle defined)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", F.split(F.trim("text"), " +"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("sh"))
+    )
+
+
+def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, label, v: array<double>, nrm)."""
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", v.alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")
+            ),
+        )
+    )
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+
+
+# ---------------------------------------------------------------------------
+# Q31-Q33: exact dedup, token stats, JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_exact_dedup",
+    "exact dedup: total vs distinct content hashes",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS distinct_docs
+    FROM documents
+    """,
+    "SURVEY.md §2C Q31",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("total"),
+        F.countDistinct(F.md5("text")).alias("distinct_docs"),
+    )
+
+
+@query(
+    "q32_token_stats",
+    "whitespace token counts + mean doc length per language",
+    """
+    SELECT lang,
+           CAST(SUM(LENGTH(string_split_regex(text, ' +'))) AS BIGINT) AS toks,
+           CAST(ROUND(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "SURVEY.md §2C Q32",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", " +"))).cast("long").alias("toks"),
+            dround(F.sum("n_chars").cast("double") / F.count("*")).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q33_json_extract",
+    "JSON property extraction from events.props",
+    """
+    SELECT json_extract_string(props, '$.k') AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """,
+    "SURVEY.md §2C Q33",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.get_json_object("props", "$.k").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34/Q38: embedding similarity (exact forms, bounded)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_cosine_topk",
+    "top-20 cosine pairs within label (label-blocked exact self-join)",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, SQRT(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS cos
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cos DESC, a_id, b_id LIMIT 20
+    """,
+    "SURVEY.md §2C Q34 (oracle twin; production path = LSH/IVF, q39)",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _emb_norm(spark, sf_dir)
+    a = n.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = F.expr(_DOT.format(a="a_v", b="b_v"))
+    return (
+        a.join(
+            b,
+            (F.col("a_label") == F.col("b_label"))
+            & (F.col("a_id") < F.col("b_id")),
+            "inner",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 3).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "a_id", "b_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q38_knn_exact",
+    "brute-force cosine top-3 neighbors for 10 query vectors (ANN baseline)",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               ROUND(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 3) AS cos
+        FROM q JOIN n ON q.vec_id <> n.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, n_id, cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3 ORDER BY q_id, rn
+    """,
+    "training-data pipeline: similarity search baseline (VERDICT r1)",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _emb_norm(spark, sf_dir).select("vec_id", "v", "nrm")
+    q = n.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr(_DOT.format(a="q_v", b="v"))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 3).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35/Q36/Q37: near-dup detection
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = 128
+_LSH_BANDS = 32  # 32 bands x 4 rows: P(candidate | J=0.7) ≈ 1-(1-0.7^4)^32 ≈ .9997
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) → exploded (doc_id, band_id, band_hash).
+
+    MinHash signature: per permutation p, min over shingles of
+    xxhash64(shingle, p); banded 4 rows/band for the LSH bucket join.
+    Pure column expressions — stays in whole-stage codegen.
+    """
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(sh, s -> xxhash64(s, {p})))"
+            )
+            for p in range(_MINHASH_PERMS)
+        ]
+    )
+    rows = _MINHASH_PERMS // _LSH_BANDS
+    with_sig = docs.select("doc_id", "sh", sig.alias("sig"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.expr(f"sig[{b * rows + r}]") for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    return (
+        with_sig.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+
+
+@query(
+    "q35_minhash_neardup",
+    "MinHash-LSH near-dup pairs (J >= 0.7), bucket-join candidates only",
+    # Oracle = brute-force exact Jaccard. The LSH path catches a J>=0.7
+    # pair with prob ≈ .9997; verified recall 1.0 on this dataset, and the
+    # hash seeds are fixed, so the match is deterministic.
+    f"""
+    WITH s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    ORDER BY a_id, b_id
+    """,
+    "SURVEY.md §2C Q35 + VERDICT r1 (bucketed LSH, no all-pairs crossJoin)",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc_shingles(spark, sf_dir)
+    bands = _minhash_bands(docs)
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_hash"
+    )
+    cands = (
+        a.join(b, ["band_id", "band_hash"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= 0.7)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q36_simhash_neardup",
+    "SimHash near-dup pairs: 64-bit shingle signature, 16-bit-band "
+    "candidates, hamming <= 8",
+    None,  # engine-only: xxhash64-derived signatures have no DuckDB twin
+    "training-data pipeline: SimHash dedup (VERDICT r1)",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Features are 3-gram SHINGLES, not unigrams: the synthetic corpus
+    # reuses a tiny vocabulary, so unigram simhashes collapse (hamming<=3
+    # between unrelated docs); shingles make the signature discriminative.
+    docs = _doc_shingles(spark, sf_dir).withColumnRenamed("sh", "toks")
+    # bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0)
+    votes = F.expr(
+        "aggregate(toks, "
+        " transform(sequence(0, 63), b -> 0L), "
+        " (acc, t) -> zip_with(acc, "
+        "   transform(sequence(0, 63), "
+        "     b -> IF((shiftright(xxhash64(t), CAST(b AS INT)) & 1L) = 1L, 1L, -1L)), "
+        "   (a, v) -> a + v))"
+    )
+    simhash = F.expr(
+        "aggregate(transform(sequence(0, 63), "
+        " b -> IF(element_at(votes, CAST(b + 1 AS INT)) >= 0L, "
+        "   shiftleft(1L, CAST(b AS INT)), 0L)), 0L, (acc, x) -> acc | x)"
+    )
+    sigs = (
+        docs.select("doc_id", votes.alias("votes"))
+        .select("doc_id", simhash.alias("h"))
+    )
+    # 4 bands of 16 bits: pairs within hamming<=8 share >=1 exact band whp
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.expr(f"(shiftright(h, {16 * i}) & 65535L)").alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", "h", F.explode(bands).alias("band")
+    ).select("doc_id", "h", "band.band_id", "band.band_val")
+    a = exploded.select(
+        F.col("doc_id").alias("a_id"), F.col("h").alias("a_h"),
+        "band_id", "band_val",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("b_id"), F.col("h").alias("b_h"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 8)
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q37_ngram_jaccard_topk",
+    "top-10 most similar doc pairs by exact word-3-gram Jaccard, "
+    "(lang, source)-blocked",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, lang, source,
+                     string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, a_id, b_id LIMIT 10
+    """,
+    "training-data pipeline: n-gram Jaccard similarity (VERDICT r1)",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc_shingles(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("a_id"), "lang", "source",
+        F.col("sh").alias("sh_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"), "lang", "source",
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, ["lang", "source"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.round(inter / union, 4).alias("jaccard")
+        )
+        .orderBy(F.col("jaccard").desc(), "a_id", "b_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39: IVF-pruned ANN (engine-only scale path for q38)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_ann_ivf",
+    "IVF-pruned approximate top-3 neighbors for 10 query vectors",
+    None,  # engine-only: pruning set depends on centroid seeds; recall vs
+    #        q38's exact result is asserted in tests/test_llm.py
+    "training-data pipeline: ANN scale path (VERDICT r1: bucketed, "
+    "never all-pairs)",
+)
+def q39(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
+    """IVF: 8 deterministic centroid seeds (lowest vec_ids); every vector
+    is assigned to its nearest centroid; a query probes the ``nprobe``
+    nearest centroid cells and ranks only those candidates. On uniform
+    random vectors (the hardest case for ANN) nprobe=6/8 holds
+    recall@3 >= 0.9 vs the exact q38 baseline; real clustered embeddings
+    prune far harder at the same recall."""
+    from pyspark.sql import Window
+
+    n = _emb_norm(spark, sf_dir).select("vec_id", "v", "nrm")
+    cents = n.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot_c = F.expr(_DOT.format(a="v", b="c_v"))
+    sim_to_cent = (dot_c / (F.col("nrm") * F.col("c_nrm"))).alias("c_sim")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), "c_id"
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "c_id", sim_to_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
+    )
+    queries = assigned.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # per query: the nprobe nearest centroid cells
+    dot_qc = F.expr(_DOT.format(a="q_v", b="c_v"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        (dot_qc / (F.col("q_nrm") * F.col("c_nrm"))).desc(), "c_id"
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .where(F.col("prn") <= nprobe)
+        .select("q_id", "q_v", "q_nrm", F.col("c_id").alias("cell"))
+    )
+    dot_qn = F.expr(_DOT.format(a="q_v", b="v"))
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        assigned.join(F.broadcast(probes), "cell", "inner")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(dot_qn / (F.col("q_nrm") * F.col("nrm")), 3).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40-q43: text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+
+
+@query(
+    "q40_lang_id",
+    "language-ID heuristic: stopword-ratio vote per doc, tallied by "
+    "declared lang",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), ' +') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> x IN ({_STOPWORDS}))) * 1.0
+                   / len(toks) AS sw_ratio
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT lang,
+           CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "training-data pipeline: language ID heuristic (VERDICT r1)",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.trim("text")), " +")
+    sw_ratio = F.expr(
+        f"size(filter(toks, x -> x IN ({_STOPWORDS}))) * 1.0D / size(toks)"
+    )
+    pred = F.when(F.col("sw_ratio") >= 0.05, "en").otherwise("unknown")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .withColumn("sw_ratio", sw_ratio)
+        .groupBy("lang", pred.alias("pred"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+@query(
+    "q41_quality_score",
+    "doc quality metrics: token count, mean token length, non-alnum "
+    "ratio, quality gate",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               LENGTH(text) AS n_char,
+               LENGTH(string_split_regex(trim(text), ' +')) AS n_tok,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(ROUND(CAST(CAST(n_char AS DOUBLE) / n_tok
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS avg_tok_len,
+           CAST(ROUND(CAST(CAST(n_punct AS DOUBLE) / n_char
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS punct_ratio,
+           CASE WHEN n_tok >= 10 AND CAST(n_punct AS DOUBLE) / n_char < 0.1
+                THEN 1 ELSE 0 END AS keep
+    FROM m WHERE n_tok > 0 AND n_char > 0
+    ORDER BY doc_id
+    """,
+    "training-data pipeline: quality scoring (VERDICT r1)",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length("text").alias("n_char"),
+            F.size(F.split(F.trim("text"), " +")).alias("n_tok"),
+            F.length(
+                F.regexp_replace("text", "[A-Za-z0-9 ]", "")
+            ).alias("n_punct"),
+        )
+        .where((F.col("n_tok") > 0) & (F.col("n_char") > 0))
+    )
+    keep = F.when(
+        (F.col("n_tok") >= 10)
+        & (F.col("n_punct").cast("double") / F.col("n_char") < 0.1),
+        1,
+    ).otherwise(0)
+    return m.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        dround(F.col("n_char").cast("double") / F.col("n_tok")).alias(
+            "avg_tok_len"
+        ),
+        dround(F.col("n_punct").cast("double") / F.col("n_char")).alias(
+            "punct_ratio"
+        ),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "q42_token_count_bpe",
+    "BPE-ish regex tokenizer counts per language",
+    f"""
+    SELECT lang,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_PAT}')))
+                AS BIGINT) AS bpe_toks,
+           CAST(MAX(LENGTH(regexp_extract_all(text, '{_BPE_PAT}')))
+                AS BIGINT) AS max_doc_toks
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "training-data pipeline: token counting (VERDICT r1)",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ntok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.sum("ntok").cast("long").alias("bpe_toks"),
+            F.max("ntok").cast("long").alias("max_doc_toks"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q43_doc_fingerprint",
+    "winnowing fingerprints: 5-gram rolling hashes, window-4 minima",
+    None,  # engine-only: xxhash64-derived fingerprints have no DuckDB twin
+    "training-data pipeline: document fingerprinting (VERDICT r1)",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 4, 1)), "
+        "i -> xxhash64(substr(text, CAST(i AS INT), 5)))"
+    )
+    fps = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(grams) - 3, 1)), "
+        "j -> array_min(slice(grams, CAST(j AS INT), 4))))"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= 8)
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fp"),
+            F.array_min("fps").alias("fp_min"),
+            F.array_max("fps").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )

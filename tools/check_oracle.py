@@ -53,7 +53,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    spark = get_spark("oracle-check", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duck_con(sf_dir)
