@@ -640,21 +640,24 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
-           date_trunc('month', o_orderdate) AS mstart,
-           o_orderdate + INTERVAL 30 DAY AS plus30
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30
     FROM orders ORDER BY 1
     """,
     "SURVEY.md §2C Q28",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DATE on both sides: DuckDB's date_trunc('month', DATE) yields DATE
+    # while Spark's date_trunc yields TIMESTAMP, and DuckDB's DATE+INTERVAL
+    # yields TIMESTAMP — trunc()/date_add() pin everything to DATE.
     return (
         load(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
             F.year("o_orderdate").cast("long").alias("yr"),
             F.month("o_orderdate").cast("long").alias("mo"),
-            F.date_trunc("month", "o_orderdate").alias("mstart"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("plus30"),
+            F.trunc("o_orderdate", "month").alias("mstart"),
+            F.date_add("o_orderdate", 30).alias("plus30"),
         )
         .orderBy("o_orderkey")
     )

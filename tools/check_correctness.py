@@ -1,0 +1,177 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it
+against the matching ``oracle_sql()`` via DuckDB: row count, schema
+(column names), and an order-insensitive value hash with columns sorted
+by name — the same contract described in the driver docs. Queries with
+no oracle get a rows-only check.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(canon(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    failures = []
+    out = REPO / "tools" / "correctness_local.json"
+
+    def flush():
+        out.write_text(json.dumps(results, indent=1, default=str))
+
+    for name, fn in sorted(queries.items()):
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        rec = {}
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            rec["rows"] = len(rows)
+            rec["cols"] = cols
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"spark: {type(e).__name__}: {e}"[:500]
+            results[name] = rec
+            failures.append(name)
+            print(f"FAIL {name}: {rec['error']}", flush=True)
+            flush()
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            rec["mode"] = "rows_only"
+            rec["ok"] = len(rows) >= 0
+            print(f"ok?  {name}: rows-only, {len(rows)} rows "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+            results[name] = rec
+            flush()
+            continue
+        try:
+            cur = con.execute(sql)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"duckdb: {type(e).__name__}: {e}"[:500]
+            results[name] = rec
+            failures.append(name)
+            print(f"FAIL {name}: {rec['error']}", flush=True)
+            flush()
+            continue
+        rec["oracle_rows"] = len(o_rows)
+        rec["rows_match"] = len(rows) == len(o_rows)
+        rec["schema_match"] = sorted(c.lower() for c in cols) == sorted(
+            c.lower() for c in o_cols
+        )
+        sh = value_hash(rows, [c.lower() for c in cols])
+        oh = value_hash(o_rows, [c.lower() for c in o_cols])
+        rec["hash_match"] = sh == oh
+        ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        rec["ok"] = ok
+        results[name] = rec
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(rows)}/{len(o_rows)} "
+            f"schema={rec['schema_match']} hash={rec['hash_match']} "
+            f"({time.time()-t0:.1f}s)", flush=True
+        )
+        flush()
+        if not ok and rec["schema_match"] and not rec["hash_match"]:
+            # show a few differing canonical lines to debug
+            order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+            s_lines = sorted(
+                "\x01".join(canon(r[i]) for i in order) for r in rows
+            )
+            o_order = sorted(
+                range(len(o_cols)), key=lambda i: o_cols[i].lower()
+            )
+            o_lines = sorted(
+                "\x01".join(canon(r[i]) for i in o_order) for r in o_rows
+            )
+            diffs = [
+                (a, b) for a, b in zip(s_lines, o_lines) if a != b
+            ][:3]
+            for a, b in diffs:
+                print(f"   spark:  {a[:200]}")
+                print(f"   oracle: {b[:200]}")
+
+    flush()
+    n_ok = sum(1 for r in results.values() if r.get("ok"))
+    print(f"\n{n_ok}/{len(results)} ok; failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
