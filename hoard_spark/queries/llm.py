@@ -343,24 +343,43 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses a tiny vocabulary, so unigram simhashes collapse (hamming<=3
     # between unrelated docs); shingles make the signature discriminative.
     docs = _doc_shingles(spark, sf_dir).withColumnRenamed("sh", "toks")
-    # bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0)
-    votes = F.expr(
-        "aggregate(toks, "
-        " transform(sequence(0, 63), b -> 0L), "
-        " (acc, t) -> zip_with(acc, "
-        "   transform(sequence(0, 63), "
-        "     b -> IF((shiftright(xxhash64(t), CAST(b AS INT)) & 1L) = 1L, 1L, -1L)), "
-        "   (a, v) -> a + v))"
+    # bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0).
+    # Explode shingles and take 64 codegen'd SUM(CASE ...) aggregates per
+    # doc — one shuffle, map-side partial agg, fully whole-stage-codegen —
+    # instead of a per-row interpreted higher-order aggregate/zip_with over
+    # a 64-wide array (O(shingles x 64) allocations in a single task).
+    # repartition BEFORE explode: the docs table arrives as few large file
+    # splits; fanning docs across the cluster first spreads the expensive
+    # per-shingle hashing + bit-vote map work over all cores.
+    ncores = spark.sparkContext.defaultParallelism
+    feats = (
+        docs.repartition(ncores, "doc_id")
+        .select("doc_id", F.explode("toks").alias("t"))
+        .select("doc_id", F.xxhash64("t").alias("fh"))
     )
-    simhash = F.expr(
-        "aggregate(transform(sequence(0, 63), "
-        " b -> IF(element_at(votes, CAST(b + 1 AS INT)) >= 0L, "
-        "   shiftleft(1L, CAST(b AS INT)), 0L)), 0L, (acc, x) -> acc | x)"
-    )
-    sigs = (
-        docs.select("doc_id", votes.alias("votes"))
-        .select("doc_id", simhash.alias("h"))
-    )
+    vote_cols = [
+        F.sum(
+            F.when(
+                F.expr(f"(shiftright(fh, {b}) & 1L) = 1L"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = feats.groupBy("doc_id").agg(*vote_cols)
+    bit_terms = [
+        F.when(F.col(f"v{b}") >= 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(64)
+    ]
+    h = bit_terms[0]
+    for t in bit_terms[1:]:
+        h = h.bitwiseOR(t)
+    # persist the compact per-doc signature table: it is read by BOTH sides
+    # of the band self-join, and the InMemoryRelation boundary stops the
+    # optimizer from inlining the 64-term bit-assembly expression into every
+    # band projection (measured 468s -> ~11s at sf0.1 without/with it).
+    sigs = votes.select("doc_id", h.alias("h")).persist()
     # 4 bands of 16 bits: pairs within hamming<=8 share >=1 exact band whp
     bands = F.array(
         *[
