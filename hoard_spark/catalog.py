@@ -124,6 +124,15 @@ def validate_archives(archives: list[tuple[int, int]]) -> list[tuple[int, int]]:
             )
         if lo_spp * lo_points < hi_spp:  # degenerate coarser tier
             raise HoardError("coarser tier retains less than one finer-tier point")
+    # Whisper's validateArchiveList retention-ordering rule: each coarser
+    # tier must retain strictly longer than the finer tier, else it is
+    # never selected by archive_for_age and its rollups are born expired.
+    for (hi_spp, hi_points), (lo_spp, lo_points) in zip(archives, archives[1:]):
+        if lo_spp * lo_points <= hi_spp * hi_points:
+            raise HoardError(
+                f"coarser tier ({lo_spp}s x {lo_points}) does not retain "
+                f"longer than finer tier ({hi_spp}s x {hi_points})"
+            )
     return archives
 
 

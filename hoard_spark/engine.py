@@ -234,47 +234,99 @@ class HoardEngine:
         )
 
     # -------------------------------------------------------------- rollup
-    def propagate(self, metric: str, batch: DataFrame | None = None) -> None:
-        """Materialize the rollup cascade (O6, src/hoard.coffee:71-178).
+    def _direct_lww_many(self, metrics: list[str], tier: int) -> DataFrame:
+        pts = self._read_points().where(
+            (F.col("tier") == tier) & (F.col("metric").isin(metrics))
+        )
+        return lww(pts).select("metric", "bucket_ts", "value")
 
-        With ``batch`` (a prepared ingest batch) the recompute is scoped to
-        the (metric, date) rollup partitions the batch touched — the
-        generalized ``_.uniq`` propagate-target dedup (:373-378) — and
-        written with dynamic partition overwrite. Without it, a full rebuild.
+    def _tier_view_many(self, metrics: list[str], tier: int) -> DataFrame:
+        """Multi-metric tier view: one scan for every materialized metric,
+        per-metric cascade fallback only for the stragglers (steady-state
+        streaming has none, so this stays a single pruned scan)."""
+        if tier == 0:
+            return self._direct_lww_many(metrics, 0)
+        materialized = [
+            m
+            for m in metrics
+            if os.path.isdir(
+                os.path.join(self.rollups_path, f"tier={tier}", f"metric={m}")
+            )
+        ]
+        parts: list[DataFrame] = []
+        if materialized:
+            parts.append(
+                self._read_rollups()
+                .where(
+                    (F.col("tier") == tier)
+                    & (F.col("metric").isin(materialized))
+                )
+                .select("metric", "bucket_ts", "value")
+            )
+        for m in metrics:
+            if m not in materialized:
+                parts.append(self.tier_view(m, tier))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def propagate(self, metric: str, batch: DataFrame | None = None) -> None:
+        """Materialize the rollup cascade (O6, src/hoard.coffee:71-178)."""
+        self.propagate_many([metric], batch=batch)
+
+    def propagate_many(
+        self, metrics: list[str], batch: DataFrame | None = None
+    ) -> None:
+        """Materialize the rollup cascade for metrics SHARING one policy.
+
+        With ``batch`` (a prepared ingest batch covering the metrics) the
+        recompute is scoped to exactly the (metric, date) rollup partitions
+        the batch touched — the generalized ``_.uniq`` propagate-target
+        dedup (src/hoard.coffee:373-378) — and written with dynamic
+        partition overwrite. Without it, a full rebuild.
+
+        Scale contract: the whole call runs O(tiers) Spark jobs regardless
+        of metric count — per tier, one distinct over the micro-batch, one
+        multi-metric groupBy recompute, one partitioned write. Never a
+        per-metric driver loop (that was the round-1 scale-killer: a
+        100k-metric micro-batch cost O(metrics x tiers) jobs).
         """
-        info = self.catalog.info(metric)
+        info = self.catalog.info(metrics[0])
         cascade = plan_cascade(info)
         if not cascade:
             return
 
-        touched_dates: list[str] | None = None
         if batch is not None:
-            batch = batch.select("tier", "bucket_ts").cache()
+            batch = batch.select("metric", "tier", "bucket_ts").cache()
 
         for tier_k, higher_spp, lower_spp in cascade:
-            higher_view = self.tier_view(metric, tier_k - 1)
+            higher_view = self._tier_view_many(metrics, tier_k - 1)
 
+            touched_pairs: list[tuple[str, str]] | None = None
             if batch is not None:
-                # Dates of lower buckets affected by this batch at this tier:
-                # rows routed to finer tiers cascade down; rows routed
-                # directly to this tier land as-is; coarser rows don't touch
-                # this tier.
+                # (metric, date) pairs affected at this tier: rows routed to
+                # finer tiers cascade down; rows routed directly to this
+                # tier land as-is; coarser rows don't touch this tier. One
+                # small distinct job for ALL metrics in the group.
                 rows = (
                     batch.where(F.col("tier") <= tier_k)
                     .select(
+                        "metric",
                         bucket_date_col(
                             F.col("bucket_ts")
                             - F.pmod(F.col("bucket_ts"), F.lit(lower_spp))
-                        ).alias("d")
+                        ).alias("d"),
                     )
                     .distinct()
                     .collect()
                 )
-                touched_dates = sorted({str(r["d"]) for r in rows})
-                if not touched_dates:
+                touched_pairs = sorted({(r["metric"], str(r["d"])) for r in rows})
+                if not touched_pairs:
                     continue
-                lo = _day_start(touched_dates[0])
-                hi = _day_start(touched_dates[-1]) + 86400 + lower_spp
+                dates = sorted({d for _, d in touched_pairs})
+                lo = _day_start(dates[0])
+                hi = _day_start(dates[-1]) + 86400 + lower_spp
                 higher_view = higher_view.where(
                     (F.col("bucket_ts") >= align_ts(lo, lower_spp))
                     & (F.col("bucket_ts") < hi)
@@ -283,14 +335,26 @@ class HoardEngine:
             rolled = rollup_tier(
                 higher_view, lower_spp, higher_spp, info.x_files_factor
             )
-            merged = merge_direct(rolled, self._direct_lww(metric, tier_k))
+            merged = merge_direct(rolled, self._direct_lww_many(metrics, tier_k))
             out = (
                 merged.withColumn("tier", F.lit(tier_k))
                 .withColumn("date", bucket_date_col(F.col("bucket_ts")))
             )
-            if touched_dates is not None:
-                out = out.where(
-                    F.col("date").isin([datetime.strptime(d, "%Y-%m-%d").date() for d in touched_dates])
+            if touched_pairs is not None:
+                pairs_df = self.spark.createDataFrame(
+                    [
+                        (m, datetime.strptime(d, "%Y-%m-%d").date())
+                        for m, d in touched_pairs
+                    ],
+                    T.StructType(
+                        [
+                            T.StructField("metric", T.StringType()),
+                            T.StructField("date", T.DateType()),
+                        ]
+                    ),
+                )
+                out = out.join(
+                    F.broadcast(pairs_df), ["metric", "date"], "left_semi"
                 )
             (
                 out.select(
@@ -298,7 +362,12 @@ class HoardEngine:
                 )
                 .sortWithinPartitions("bucket_ts")
                 .write.partitionBy("tier", "metric", "date")
-                .mode("overwrite")  # dynamic: only written partitions replaced
+                # set dynamic overwrite ON THE WRITER: correctness must not
+                # depend on spark.sql.sources.partitionOverwriteMode in the
+                # session (a static-mode session would truncate every other
+                # partition of the shared rollups root).
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
                 .parquet(self.rollups_path)
             )
 

@@ -55,6 +55,21 @@ def prepare_batch(
     batch stays inside whole-stage codegen; no Python UDF.
     """
     age = F.lit(int(now)) - F.col("ts")
+    if strict_future:
+        # Erroring variant (reference update(), src/hoard.coffee:186-189):
+        # fail the job on any future point instead of silently dropping.
+        df = df.withColumn(
+            "ts",
+            F.when(
+                F.col("ts") <= F.lit(int(now)), F.col("ts")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("point in the future: ts="), F.col("ts").cast("string")
+                    )
+                )
+            ),
+        )
     df = df.where((age >= 0) & (age < F.lit(info.max_retention)))
 
     # Route each point to the highest-precision archive covering its age

@@ -63,11 +63,27 @@ def ingest_microbatch(
     now = int(now if now is not None else time.time())
     if "seq" not in batch_df.columns:
         # No source sequence: order within the batch is arbitrary, so
-        # synthesize one that at least makes batches apply in arrival order.
+        # synthesize one that makes batches apply in arrival order.
+        # Explicit bit budget (64-bit long): batch_id gets bits 40+,
+        # partition id bits 28-39 (<=4096 partitions, asserted below),
+        # per-partition record index bits 0-27 (<=268M rows/partition in
+        # one micro-batch). monotonically_increasing_id alone can't sit
+        # under batch_id's bits: it packs partitionId at bit 33, so any
+        # partition id >=128 would overflow into the next batch's range.
+        npart = batch_df.rdd.getNumPartitions()
+        if npart > 1 << 12:
+            raise ValueError(
+                f"micro-batch has {npart} partitions; seq bit budget "
+                "allows 4096 — repartition the stream or supply a seq column"
+            )
+        per_part_idx = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
         batch_df = batch_df.withColumn(
             "seq",
-            (F.lit(int(batch_id)) * F.lit(1 << 40))
-            + F.monotonically_increasing_id(),
+            (F.lit(int(batch_id)).cast("long") * F.lit(1 << 40))
+            + (F.spark_partition_id().cast("long") * F.lit(1 << 28))
+            + per_part_idx,
         )
     batch_df = batch_df.select("metric", "ts", "value", "seq")
 
@@ -88,16 +104,12 @@ def ingest_microbatch(
         info = engine.catalog.info(sig_metrics[0])
         sub = batch_df.where(F.col("metric").isin(sig_metrics))
         prepared = engine.ingestor.append(sub, info, now)
+        for m in sig_metrics:
+            engine.catalog.touch(m, now)
         if propagate and len(info.archives) > 1:
-            prepared = prepared.cache()
-            try:
-                for m in sig_metrics:
-                    engine.catalog.touch(m, now)
-                    engine.propagate(
-                        m, batch=prepared.where(F.col("metric") == m)
-                    )
-            finally:
-                prepared.unpersist()
+            # ONE multi-metric cascade per policy group: O(tiers) Spark
+            # jobs per micro-batch, independent of metric count.
+            engine.propagate_many(sig_metrics, batch=prepared)
         else:
             for m in sig_metrics:
                 engine.catalog.touch(m, now)
