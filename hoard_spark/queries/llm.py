@@ -51,7 +51,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings â†’ (vec_id, label, v: array<double>, nrm)."""
+    """embeddings â†’ (vec_id, label, v: array<double>, nrm), persisted.
+
+    Persisting matters: every caller self-joins this table, and without the
+    InMemoryRelation barrier the optimizer inlines the transform/aggregate
+    higher-order expressions into BOTH join sides, recomputing them per
+    candidate pair (measured 318s -> ~3s for q34 at sf0.1)."""
     v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     return (
         load(spark, sf_dir, "embeddings")
@@ -62,6 +67,7 @@ def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")
             ),
         )
+        .persist()
     )
 
 
@@ -245,36 +251,45 @@ _LSH_BANDS = 32  # 32 bands x 4 rows: P(candidate | J=0.7) â‰ˆ 1-(1-0.7^4)^32 â‰
 
 
 def _minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) â†’ exploded (doc_id, band_id, band_hash).
+    """(doc_id, sh) â†’ exploded (doc_id, band_id, band_hash), persisted.
 
     MinHash signature: per permutation p, min over shingles of
     xxhash64(shingle, p); banded 4 rows/band for the LSH bucket join.
-    Pure column expressions â€” stays in whole-stage codegen.
+
+    Shape: explode shingles, then 128 codegen'd MIN aggregates in ONE
+    groupBy â€” min-over-shingles commutes with the explode, so the values
+    are identical to the per-doc array_min(transform(...)) form, but the
+    work runs vectorized across all cores with map-side partial min
+    instead of as interpreted per-row higher-order functions. The band
+    table (docs x 32 rows, 3 small columns) is persisted because the LSH
+    bucket join reads it from both sides.
     """
-    sig = F.array(
+    ncores = docs.sparkSession.sparkContext.defaultParallelism
+    feats = docs.repartition(ncores, "doc_id").select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    mins = feats.groupBy("doc_id").agg(
         *[
-            F.expr(
-                f"array_min(transform(sh, s -> xxhash64(s, {p})))"
-            )
+            F.min(F.expr(f"xxhash64(s, {p})")).alias(f"m{p}")
             for p in range(_MINHASH_PERMS)
         ]
     )
     rows = _MINHASH_PERMS // _LSH_BANDS
-    with_sig = docs.select("doc_id", "sh", sig.alias("sig"))
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.xxhash64(
-                    *[F.expr(f"sig[{b * rows + r}]") for r in range(rows)]
+                    *[F.col(f"m{b * rows + r}") for r in range(rows)]
                 ).alias("band_hash"),
             )
             for b in range(_LSH_BANDS)
         ]
     )
     return (
-        with_sig.select("doc_id", F.explode(bands).alias("band"))
+        mins.select("doc_id", F.explode(bands).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
+        .persist()
     )
 
 
@@ -303,7 +318,8 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     "SURVEY.md Â§2C Q35 + VERDICT r1 (bucketed LSH, no all-pairs crossJoin)",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _doc_shingles(spark, sf_dir)
+    # persisted: read by the band builder AND both sides of the verify join
+    docs = _doc_shingles(spark, sf_dir).persist()
     bands = _minhash_bands(docs)
     a = bands.select(
         F.col("doc_id").alias("a_id"), "band_id", "band_hash"
@@ -437,7 +453,10 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-data pipeline: n-gram Jaccard similarity (VERDICT r1)",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _doc_shingles(spark, sf_dir)
+    # persisted: both sides of the blocked self-join read the shingle
+    # table; without the barrier the shingle transform is recomputed per
+    # candidate pair.
+    docs = _doc_shingles(spark, sf_dir).persist()
     a = docs.select(
         F.col("doc_id").alias("a_id"), "lang", "source",
         F.col("sh").alias("sh_a"),
@@ -679,9 +698,13 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_distinct(transform(sequence(1, greatest(size(grams) - 3, 1)), "
         "j -> array_min(slice(grams, CAST(j AS INT), 4))))"
     )
+    ncores = spark.sparkContext.defaultParallelism
     return (
         load(spark, sf_dir, "documents")
         .where(F.length("text") >= 8)
+        # the rolling-hash pipeline is per-row compute-bound; fan the
+        # single-file scan across all cores before evaluating it
+        .repartition(ncores, "doc_id")
         .select("doc_id", grams.alias("grams"))
         .select("doc_id", fps.alias("fps"))
         .select(
