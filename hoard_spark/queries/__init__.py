@@ -120,7 +120,7 @@ def all_queries() -> dict[str, Query]:
     # import side-effect: populate REGISTRY
     import importlib
 
-    for mod in ("timeseries", "relational", "llm"):
+    for mod in ("timeseries", "relational", "llm", "multimodal"):
         try:
             importlib.import_module(f"hoard_spark.queries.{mod}")
         except ImportError:  # module not yet implemented this round

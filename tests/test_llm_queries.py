@@ -1,0 +1,92 @@
+"""Engine-only guarantees of the LLM-pipeline queries (VERDICT r1 bar):
+
+- the ANN path (q39 IVF) must reach recall@3 >= 0.9 against the exact
+  brute-force baseline (q38),
+- the MinHash-LSH path (q35) must recover every exact-Jaccard>=0.7 pair
+  (recall >= 0.9) without an all-pairs plan,
+- near-dup plans must be bucket joins: no CartesianProduct / broadcast
+  nested-loop anywhere in q35/q36,
+- approx_count_distinct stays within 5% of exact (SURVEY §2C Q16 smoke).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoard_spark.queries import all_queries, load
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+
+REG = all_queries()
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in REG["q38_knn_exact"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    ann = {
+        (r["q_id"], r["n_id"])
+        for r in REG["q39_ann_ivf"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "exact baseline returned nothing"
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.9, f"IVF recall@3 {recall:.2f} < 0.9"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    docs = (
+        load(spark, SF_SMOKE, "documents")
+        .withColumn("toks", F.split(F.trim("text"), " +"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
+                "element_at(toks, CAST(i + 1 AS INT)), "
+                "element_at(toks, CAST(i + 2 AS INT)))))"
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    # all-pairs ground truth: fine at sf0.001 (test-only, never the engine path)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(inter / union >= 0.7)
+        .collect()
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in REG["q35_minhash_neardup"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "no exact near-dup pairs in fixture"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+    assert got <= exact, "LSH emitted a pair below the Jaccard threshold"
+
+
+@pytest.mark.parametrize("qname", ["q35_minhash_neardup", "q36_simhash_neardup"])
+def test_neardup_plans_are_bucket_joins(spark, qname):
+    df = REG[qname].spark_fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{qname} plans an all-pairs join"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{qname} plans a nested-loop join"
+    )
+
+
+def test_approx_count_distinct_smoke(spark):
+    orders = load(spark, SF_SMOKE, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.05
