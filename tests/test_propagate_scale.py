@@ -1,0 +1,78 @@
+"""Scale contract of propagate_many: O(tiers) Spark jobs per micro-batch,
+independent of how many metrics the batch touches (VERDICT r1 "what's
+wrong" #4 — the per-metric loop cost O(metrics x tiers) jobs and made the
+driver the bottleneck at 100k-metric scale).
+"""
+
+from pyspark.sql import functions as F
+
+from hoard_spark.streaming.ingest import ingest_microbatch
+
+ARCHIVES = [(60, 120), (300, 120), (3600, 48)]  # 3 tiers, 2 cascade steps
+N_METRICS = 12
+NOW = 1_400_000_000
+
+
+def _batch_df(spark, n_metrics, points_per_metric=30):
+    rows = []
+    for m in range(n_metrics):
+        for i in range(points_per_metric):
+            rows.append((f"m{m:03d}", NOW - 60 * i, float(m * 1000 + i)))
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def _job_count(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+
+
+def test_microbatch_jobs_independent_of_metric_count(spark, tmp_path):
+    from hoard_spark.engine import HoardEngine
+
+    def jobs_for(n_metrics: int) -> int:
+        engine = HoardEngine(spark, str(tmp_path / f"wh{n_metrics}"))
+        for m in range(n_metrics):
+            engine.create(f"m{m:03d}", ARCHIVES)
+        before = _job_count(spark)
+        ingest_microbatch(engine, _batch_df(spark, n_metrics), batch_id=0, now=NOW)
+        return _job_count(spark) - before
+
+    small, large = jobs_for(2), jobs_for(N_METRICS)
+    # The per-metric regime scales linearly (>= n_metrics * tiers write
+    # jobs); the contract is a flat O(tiers) count whatever the batch's
+    # metric cardinality. Allow a tiny fixed margin for AQE job splits.
+    assert large <= small + 2, (
+        f"{large} Spark jobs for {N_METRICS} metrics vs {small} for 2 — "
+        "propagate job count grows with metric count"
+    )
+
+
+def test_multi_metric_rollup_values_match_single_metric_path(spark, engine):
+    for m in range(3):
+        engine.create(f"m{m:03d}", ARCHIVES)
+    ingest_microbatch(engine, _batch_df(spark, 3), batch_id=0, now=NOW)
+
+    # every metric's tier-1 rollup equals an independently computed
+    # LWW -> 300s-bucket average over its own raw points
+    raw = (
+        engine._read_points()
+        .where(F.col("tier") == 0)
+        .groupBy("metric", "bucket_ts")
+        .agg(F.max_by("value", "seq").alias("v"))
+    )
+    # xff gate: expected = 300/60 = 5 slots per bucket, xff 0.5 => keep
+    # buckets with >= 2.5 known slots (the reference's knownPercent rule)
+    expect = {
+        (r["metric"], r["b"]): round(r["avg"], 6)
+        for r in raw.groupBy(
+            "metric",
+            (F.col("bucket_ts") - F.pmod("bucket_ts", F.lit(300))).alias("b"),
+        )
+        .agg(F.avg("v").alias("avg"), F.count("v").alias("known"))
+        .where(F.col("known") / 5.0 >= 0.5)
+        .collect()
+    }
+    got = {
+        (r["metric"], r["bucket_ts"]): round(r["value"], 6)
+        for r in engine._read_rollups().where(F.col("tier") == 1).collect()
+    }
+    assert got == expect
