@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import time
+import zlib
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,7 +72,22 @@ def _day_start(date_str: str) -> int:
 
 
 class HoardEngine:
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        metric_buckets: int | None = None,
+    ):
+        """``metric_buckets``: opt-in hash-bucketed layout for very-high-
+        cardinality metric spaces. With N buckets the partition scheme is
+        ``(tier, mb, date)`` where ``mb = crc32(metric) % N`` and ``metric``
+        is a plain data column — a million metrics become N directories
+        instead of a million, while fetches still prune to one (tier, mb)
+        branch and parquet min/max on the sorted ``metric`` column skips
+        row groups within it. The layout choice is persisted with the
+        warehouse (the stored value wins on reopen) because it is a
+        physical property of the written data.
+        """
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.catalog = Catalog(warehouse_dir)
@@ -82,7 +98,69 @@ class HoardEngine:
         if os.path.exists(self._seq_path):
             with open(self._seq_path) as f:
                 self._seq = json.load(f)
-        self.ingestor = Ingestor(spark, self.catalog, self.points_path)
+        self._layout_path = os.path.join(warehouse_dir, "_hoard_layout.json")
+        if os.path.exists(self._layout_path):
+            with open(self._layout_path) as f:
+                stored = json.load(f).get("metric_buckets")
+            self.metric_buckets = stored
+        else:
+            self.metric_buckets = metric_buckets
+            with open(self._layout_path, "w") as f:
+                json.dump({"metric_buckets": metric_buckets}, f)
+        # (tier, metric) pairs with a materialized rollup — replaces the
+        # per-metric directory probe, which the bucketed layout can't offer
+        self._mat_path = os.path.join(warehouse_dir, "_hoard_materialized.json")
+        self._materialized: set[str] = set()
+        if os.path.exists(self._mat_path):
+            with open(self._mat_path) as f:
+                self._materialized = set(json.load(f))
+        self.ingestor = Ingestor(
+            spark, self.catalog, self.points_path, self.metric_buckets
+        )
+
+    # ------------------------------------------------------- layout helpers
+    @property
+    def _part_cols(self) -> list[str]:
+        if self.metric_buckets:
+            return ["tier", "mb", "date"]
+        return ["tier", "metric", "date"]
+
+    def _mb_of(self, metric: str) -> int:
+        return zlib.crc32(metric.encode("utf-8")) % self.metric_buckets
+
+    def _metric_pred(self, metric: str):
+        pred = F.col("metric") == metric
+        if self.metric_buckets:
+            pred = pred & (F.col("mb") == self._mb_of(metric))
+        return pred
+
+    def _metrics_pred(self, metrics: list[str]):
+        pred = F.col("metric").isin(metrics)
+        if self.metric_buckets:
+            pred = pred & F.col("mb").isin(
+                sorted({self._mb_of(m) for m in metrics})
+            )
+        return pred
+
+    def _mark_materialized(self, tier: int, metrics: list[str]) -> None:
+        keys = {f"{tier}:{m}" for m in metrics}
+        if keys <= self._materialized:
+            return
+        self._materialized |= keys
+        tmp = self._mat_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(self._materialized), f)
+        os.replace(tmp, self._mat_path)
+
+    def _is_materialized(self, tier: int, metric: str) -> bool:
+        if f"{tier}:{metric}" in self._materialized:
+            return True
+        # legacy unbucketed warehouses predate the marker file
+        if not self.metric_buckets:
+            return os.path.isdir(
+                os.path.join(self.rollups_path, f"tier={tier}", f"metric={metric}")
+            )
+        return False
 
     # ------------------------------------------------------------------ DDL
     def create(
@@ -173,29 +251,34 @@ class HoardEngine:
         return prepared
 
     # ------------------------------------------------------------- reading
+    def _read_schema(self, base: T.StructType) -> T.StructType:
+        if not self.metric_buckets:
+            return base
+        return T.StructType(
+            list(base.fields) + [T.StructField("mb", T.IntegerType())]
+        )
+
     def _read_points(self) -> DataFrame:
+        schema = self._read_schema(_POINTS_READ_SCHEMA)
         if not os.path.isdir(self.points_path):
-            return self.spark.createDataFrame([], _POINTS_READ_SCHEMA)
+            return self.spark.createDataFrame([], schema)
         try:
-            return self.spark.read.schema(_POINTS_READ_SCHEMA).parquet(
-                self.points_path
-            )
+            return self.spark.read.schema(schema).parquet(self.points_path)
         except Exception:
-            return self.spark.createDataFrame([], _POINTS_READ_SCHEMA)
+            return self.spark.createDataFrame([], schema)
 
     def _read_rollups(self) -> DataFrame:
+        schema = self._read_schema(_ROLLUP_READ_SCHEMA)
         if not os.path.isdir(self.rollups_path):
-            return self.spark.createDataFrame([], _ROLLUP_READ_SCHEMA)
+            return self.spark.createDataFrame([], schema)
         try:
-            return self.spark.read.schema(_ROLLUP_READ_SCHEMA).parquet(
-                self.rollups_path
-            )
+            return self.spark.read.schema(schema).parquet(self.rollups_path)
         except Exception:
-            return self.spark.createDataFrame([], _ROLLUP_READ_SCHEMA)
+            return self.spark.createDataFrame([], schema)
 
     def _direct_lww(self, metric: str, tier: int) -> DataFrame:
         pts = self._read_points().where(
-            (F.col("tier") == tier) & (F.col("metric") == metric)
+            (F.col("tier") == tier) & self._metric_pred(metric)
         )
         return lww(pts).select("metric", "bucket_ts", "value")
 
@@ -211,16 +294,12 @@ class HoardEngine:
         info = self.catalog.info(metric)
         if tier == 0:
             return self._direct_lww(metric, 0)
-        if use_materialized:
-            tier_dir = os.path.join(
-                self.rollups_path, f"tier={tier}", f"metric={metric}"
+        if use_materialized and self._is_materialized(tier, metric):
+            return (
+                self._read_rollups()
+                .where((F.col("tier") == tier) & self._metric_pred(metric))
+                .select("metric", "bucket_ts", "value")
             )
-            if os.path.isdir(tier_dir):
-                return (
-                    self._read_rollups()
-                    .where((F.col("tier") == tier) & (F.col("metric") == metric))
-                    .select("metric", "bucket_ts", "value")
-                )
         higher = info.archives[tier - 1]
         lower = info.archives[tier]
         rolled = rollup_tier(
@@ -236,7 +315,7 @@ class HoardEngine:
     # -------------------------------------------------------------- rollup
     def _direct_lww_many(self, metrics: list[str], tier: int) -> DataFrame:
         pts = self._read_points().where(
-            (F.col("tier") == tier) & (F.col("metric").isin(metrics))
+            (F.col("tier") == tier) & self._metrics_pred(metrics)
         )
         return lww(pts).select("metric", "bucket_ts", "value")
 
@@ -247,19 +326,14 @@ class HoardEngine:
         if tier == 0:
             return self._direct_lww_many(metrics, 0)
         materialized = [
-            m
-            for m in metrics
-            if os.path.isdir(
-                os.path.join(self.rollups_path, f"tier={tier}", f"metric={m}")
-            )
+            m for m in metrics if self._is_materialized(tier, m)
         ]
         parts: list[DataFrame] = []
         if materialized:
             parts.append(
                 self._read_rollups()
                 .where(
-                    (F.col("tier") == tier)
-                    & (F.col("metric").isin(materialized))
+                    (F.col("tier") == tier) & self._metrics_pred(materialized)
                 )
                 .select("metric", "bucket_ts", "value")
             )
@@ -356,12 +430,47 @@ class HoardEngine:
                 out = out.join(
                     F.broadcast(pairs_df), ["metric", "date"], "left_semi"
                 )
-            (
-                out.select(
-                    "bucket_ts", "value", "known", "tier", "metric", "date"
+            out = out.select(
+                "bucket_ts", "value", "known", "tier", "metric", "date"
+            )
+            if self.metric_buckets:
+                out = out.withColumn(
+                    "mb",
+                    F.pmod(
+                        F.crc32(F.col("metric").cast("binary")),
+                        F.lit(self.metric_buckets),
+                    ).cast("int"),
                 )
-                .sortWithinPartitions("bucket_ts")
-                .write.partitionBy("tier", "metric", "date")
+                # An (mb, date) partition holds MANY metrics; dynamic
+                # overwrite replaces whole partitions, so rows of metrics
+                # NOT being recomputed must ride along unchanged.
+                cols = ["bucket_ts", "value", "known", "tier", "metric",
+                        "date", "mb"]
+                existing = self._read_rollups().where(F.col("tier") == tier_k)
+                if touched_pairs is not None:
+                    part_keys = sorted(
+                        {f"{self._mb_of(m)}|{d}" for m, d in touched_pairs}
+                    )
+                    in_overwritten = F.concat_ws(
+                        "|", F.col("mb"), F.col("date").cast("string")
+                    ).isin(part_keys)
+                    replaced = F.concat_ws(
+                        "|", F.col("metric"), F.col("date").cast("string")
+                    ).isin([f"{m}|{d}" for m, d in touched_pairs])
+                    keep = existing.where(in_overwritten & ~replaced)
+                else:
+                    overwritten = out.select("mb", "date").distinct()
+                    keep = (
+                        existing.where(~F.col("metric").isin(metrics))
+                        .join(F.broadcast(overwritten), ["mb", "date"],
+                              "left_semi")
+                    )
+                out = out.unionByName(keep.select(*cols))
+            (
+                # cluster by metric within each bucket partition so parquet
+                # min/max statistics on `metric` skip row groups at read
+                out.sortWithinPartitions("metric", "bucket_ts")
+                .write.partitionBy(*self._part_cols)
                 # set dynamic overwrite ON THE WRITER: correctness must not
                 # depend on spark.sql.sources.partitionOverwriteMode in the
                 # session (a static-mode session would truncate every other
@@ -369,6 +478,12 @@ class HoardEngine:
                 .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .parquet(self.rollups_path)
+            )
+            self._mark_materialized(
+                tier_k,
+                sorted({m for m, _ in touched_pairs})
+                if touched_pairs is not None
+                else metrics,
             )
 
         if batch is not None:
@@ -402,7 +517,12 @@ class HoardEngine:
         """
         pts = self._read_points()
         if metric is not None:
-            pts = pts.where(F.col("metric") == metric)
+            if self.metric_buckets:
+                # bucketed layout: the swap granularity is the hash bucket,
+                # so compact every metric sharing this metric's bucket
+                pts = pts.where(F.col("mb") == self._mb_of(metric))
+            else:
+                pts = pts.where(F.col("metric") == metric)
         folded = (
             pts.groupBy("metric", "tier", "bucket_ts")
             .agg(
@@ -413,10 +533,18 @@ class HoardEngine:
             .withColumn("date", bucket_date_col(F.col("bucket_ts")))
             .select("bucket_ts", "value", "seq", "ts", "tier", "metric", "date")
         )
+        if self.metric_buckets:
+            folded = folded.withColumn(
+                "mb",
+                F.pmod(
+                    F.crc32(F.col("metric").cast("binary")),
+                    F.lit(self.metric_buckets),
+                ).cast("int"),
+            )
         tmp = self.points_path + "_compacting"
         (
-            folded.sortWithinPartitions("bucket_ts")
-            .write.partitionBy("tier", "metric", "date")
+            folded.sortWithinPartitions("metric", "bucket_ts")
+            .write.partitionBy(*self._part_cols)
             .mode("overwrite")
             .parquet(tmp)
         )
@@ -424,12 +552,17 @@ class HoardEngine:
             shutil.rmtree(self.points_path, ignore_errors=True)
             os.replace(tmp, self.points_path)
         else:
-            # swap only this metric's partitions
+            # swap only the rewritten partitions
+            sub = (
+                f"mb={self._mb_of(metric)}"
+                if self.metric_buckets
+                else f"metric={metric}"
+            )
             for tier_dir in sorted(os.listdir(tmp)):
                 if not tier_dir.startswith("tier="):
                     continue
-                src = os.path.join(tmp, tier_dir, f"metric={metric}")
-                dst = os.path.join(self.points_path, tier_dir, f"metric={metric}")
+                src = os.path.join(tmp, tier_dir, sub)
+                dst = os.path.join(self.points_path, tier_dir, sub)
                 if os.path.isdir(src):
                     shutil.rmtree(dst, ignore_errors=True)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -448,15 +581,36 @@ class HoardEngine:
             if not os.path.isdir(root):
                 continue
             for a in info.archives:
-                cutoff = now - a.retention
-                tier_dir = os.path.join(root, f"tier={a.tier}", f"metric={metric}")
-                if not os.path.isdir(tier_dir):
-                    continue
-                for d in sorted(os.listdir(tier_dir)):
-                    if not d.startswith("date="):
+                if self.metric_buckets:
+                    # bucketed layout: an (mb, date) dir holds many metrics,
+                    # so a dir is only safely dead once the day is past the
+                    # LONGEST retention any catalog metric has at this tier;
+                    # read-side retention filtering covers the remainder.
+                    cutoff = now - max(
+                        mi.archives[a.tier].retention
+                        for mi in self.catalog._metrics.values()
+                        if len(mi.archives) > a.tier
+                    )
+                    tier_dirs = [
+                        os.path.join(root, f"tier={a.tier}", mb_dir)
+                        for mb_dir in sorted(
+                            os.listdir(os.path.join(root, f"tier={a.tier}"))
+                        )
+                        if mb_dir.startswith("mb=")
+                    ] if os.path.isdir(os.path.join(root, f"tier={a.tier}")) else []
+                else:
+                    cutoff = now - a.retention
+                    tier_dirs = [
+                        os.path.join(root, f"tier={a.tier}", f"metric={metric}")
+                    ]
+                for tier_dir in tier_dirs:
+                    if not os.path.isdir(tier_dir):
                         continue
-                    day_end = _day_start(d.split("=", 1)[1]) + 86400
-                    if day_end <= cutoff:
-                        shutil.rmtree(os.path.join(tier_dir, d))
-                        dropped.append(os.path.join(tier_dir, d))
+                    for d in sorted(os.listdir(tier_dir)):
+                        if not d.startswith("date="):
+                            continue
+                        day_end = _day_start(d.split("=", 1)[1]) + 86400
+                        if day_end <= cutoff:
+                            shutil.rmtree(os.path.join(tier_dir, d))
+                            dropped.append(os.path.join(tier_dir, d))
         return dropped

@@ -112,10 +112,17 @@ def lww(df: DataFrame) -> DataFrame:
 class Ingestor:
     """Writes prepared batches into the points table."""
 
-    def __init__(self, spark: SparkSession, catalog: Catalog, points_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        points_path: str,
+        metric_buckets: int | None = None,
+    ):
         self.spark = spark
         self.catalog = catalog
         self.points_path = points_path
+        self.metric_buckets = metric_buckets
 
     def append(self, df: DataFrame, info: MetricInfo, now: int) -> DataFrame:
         """Validate + route + append one metric's batch.
@@ -125,12 +132,23 @@ class Ingestor:
         — the scalable half of the LWW design.
         """
         prepared = prepare_batch(df, info, now)
+        if self.metric_buckets:
+            prepared = prepared.withColumn(
+                "mb",
+                F.pmod(
+                    F.crc32(F.col("metric").cast("binary")),
+                    F.lit(self.metric_buckets),
+                ).cast("int"),
+            )
+            part_cols = ["tier", "mb", "date"]
+        else:
+            part_cols = ["tier", "metric", "date"]
         # Cluster rows within each output file by bucket for row-group
         # locality — the Spark analog of the reference's contiguous-run write
         # coalescing (src/hoard.coffee:302-323).
         (
             prepared.sortWithinPartitions("metric", "bucket_ts")
-            .write.partitionBy("tier", "metric", "date")
+            .write.partitionBy(*part_cols)
             .mode("append")
             .parquet(self.points_path)
         )
