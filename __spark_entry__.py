@@ -6,7 +6,8 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All queries live in ``hoard_spark.queries.REGISTRY`` (timeseries Q1-Q5,
-relational Q6-Q30, LLM-pipeline Q31-Q35); this module is a thin adapter.
+relational Q6-Q30, LLM-pipeline Q31-Q43, multimodal Q44-Q46, embedding
+near-dup Q47); this module is a thin adapter.
 """
 
 from __future__ import annotations

@@ -70,6 +70,10 @@ def main() -> None:
         df = q.spark_fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        # drop DataFrames the query persisted internally: keeps every
+        # measurement self-contained and stops cached partitions piling up
+        # across the 40+-query session
+        spark.catalog.clearCache()
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)

@@ -93,6 +93,19 @@ class MetricInfo:
         return None
 
     def to_dict(self) -> dict:
+        # Parity with reference info() (src/hoard.coffee:392-424): each
+        # archive reports the byte offset it would occupy in the Whisper
+        # file — header (metadataSize 16 + archiveInfoSize 12 per archive,
+        # src/hoard.coffee:23-26, 54-55) plus the preceding archives' data.
+        # Purely informational here (Parquet has no ring offsets), kept so
+        # a reference client reading info() sees the same shape and values.
+        archives = []
+        offset = 16 + 12 * len(self.archives)
+        for a in self.archives:
+            d = a.to_dict()
+            d["offset"] = offset
+            offset += a.size
+            archives.append(d)
         return {
             "metric": self.metric,
             "maxRetention": self.max_retention,
@@ -100,7 +113,7 @@ class MetricInfo:
             "archiveCount": len(self.archives),
             "createdAt": self.created_at,
             "lastUpdate": self.last_update,
-            "archives": [a.to_dict() for a in self.archives],
+            "archives": archives,
         }
 
 

@@ -715,3 +715,111 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q47: embedding-cosine near-dup (the dedup-family closer)
+# ---------------------------------------------------------------------------
+
+_RP_PLANES = 36  # 6 bands x 6 bits
+_RP_BANDS = 6
+
+
+def _rp_bands(n: DataFrame) -> DataFrame:
+    """(vec_id, v) → exploded (vec_id, band_id, band_hash), persisted.
+
+    Random-hyperplane LSH for cosine: plane p's component for dimension d
+    is ±1 by the parity of xxhash64(p, d) — deterministic, seedless, and
+    identical across runs. The signed sums run as codegen SUM aggregates
+    over posexploded (vec_id, d, x) rows (same shape as the MinHash/SimHash
+    signatures: explode + groupBy beats per-row interpreted higher-order
+    lambdas), then 6-bit sign patterns hash into 6 LSH bands. A cos>=0.99
+    pair (~8 degrees) agrees per plane w.p. ~0.955 => P(some band matches)
+    ~0.9998; a random pair lands in a shared band ~9% of the time, so the
+    candidate set stays near-linear instead of quadratic.
+    """
+    pos = n.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    sums = pos.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(xxhash64({p}, pos) & 1) = 1"), F.col("x")
+                ).otherwise(-F.col("x"))
+            ).alias(f"s{p}")
+            for p in range(_RP_PLANES)
+        ]
+    )
+    bits = _RP_PLANES // _RP_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        (F.col(f"s{b * bits + r}") >= 0).cast("int")
+                        for r in range(bits)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(_RP_BANDS)
+        ]
+    )
+    return (
+        sums.select("vec_id", F.explode(bands).alias("band"))
+        .select("vec_id", "band.band_id", "band.band_hash")
+        .persist()
+    )
+
+
+@query(
+    "q47_embedding_neardup",
+    "embedding near-dup pairs (cosine >= 0.99) via random-hyperplane LSH "
+    "candidates + exact verify",
+    # Oracle = brute-force exact threshold self-join. The LSH path misses a
+    # cos>=0.99 pair w.p. ~2e-4 and verification is exact, so the result
+    # hash-matches the oracle on this corpus (recall pinned by test).
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+    ORDER BY a_id, b_id
+    """,
+    "training-data pipeline: embedding-cosine near-dup (VERDICT r1 dedup "
+    "family; bucketed LSH, no all-pairs crossJoin)",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _emb_norm(spark, sf_dir)  # persisted by the helper
+    bands = _rp_bands(n)
+    a = bands.select(F.col("vec_id").alias("a_id"), "band_id", "band_hash")
+    b = bands.select(F.col("vec_id").alias("b_id"), "band_id", "band_hash")
+    cands = (
+        a.join(b, ["band_id", "band_hash"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    na = n.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    nb = n.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.expr(_DOT.format(a="a_v", b="b_v")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    return (
+        cands.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= 0.99)
+        .select("a_id", "b_id", F.round("cos", 3).alias("cos"))
+        .orderBy("a_id", "b_id")
+    )

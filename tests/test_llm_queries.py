@@ -73,7 +73,10 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert got <= exact, "LSH emitted a pair below the Jaccard threshold"
 
 
-@pytest.mark.parametrize("qname", ["q35_minhash_neardup", "q36_simhash_neardup"])
+@pytest.mark.parametrize(
+    "qname",
+    ["q35_minhash_neardup", "q36_simhash_neardup", "q47_embedding_neardup"],
+)
 def test_neardup_plans_are_bucket_joins(spark, qname):
     df = REG[qname].spark_fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -90,3 +93,42 @@ def test_approx_count_distinct_smoke(spark):
         F.approx_count_distinct("o_custkey").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.05
+
+
+def test_embedding_neardup_on_planted_clones(spark, tmp_path):
+    """The testdata embeddings contain no cos>=0.99 pairs (max pairwise
+    cosine ~0.6), so q47's oracle row is a correct-but-empty match. This
+    test plants real near-duplicates and pins recall AND precision of the
+    LSH pipeline against an exact numpy ground truth."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64))
+    clones = base[:10] + rng.normal(scale=0.01, size=(10, 64))  # cos ~0.9999
+    vecs = np.vstack([base, clones]).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in v], int(i % 10)) for i, v in enumerate(vecs)
+    ]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(sf_dir / "embeddings.parquet"))
+
+    norm = vecs / np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+    cos = norm @ norm.T
+    expect = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if cos[a, b] >= 0.99
+    }
+    assert len(expect) >= 10
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in REG["q47_embedding_neardup"]
+        .spark_fn(spark, str(sf_dir))
+        .collect()
+    }
+    assert got == expect
