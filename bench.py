@@ -78,6 +78,8 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
+    ingest = _bench_ingest(spark)
+
     print(
         json.dumps(
             {
@@ -85,10 +87,51 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "sf": sf_of(SF_DIR),
             }
         )
     )
+
+
+def _bench_ingest(spark) -> dict:
+    """BASELINE.md methodology (i)+(ii): bulk ingest of the events table
+    through the LWW pipeline including the incremental rollup build, as one
+    multi-metric micro-batch into a hash-bucketed warehouse. The reference's
+    only measured workload is a 57,600-point updateMany; this is the same
+    shape at sf scale."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hoard_spark.engine import HoardEngine
+    from hoard_spark.streaming.ingest import ingest_microbatch
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pts = events.select(
+        F.col("event_type").alias("metric"),
+        (F.col("ts").cast("long") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_id").cast("long").alias("seq"),
+    )
+    n_rows = pts.count()
+    now = pts.agg(F.max("ts")).first()[0] + 1
+    wh = tempfile.mkdtemp(prefix="hoard_bench_wh_")
+    try:
+        eng = HoardEngine(spark, wh, metric_buckets=16)
+        for r in pts.select("metric").distinct().collect():
+            eng.create(r["metric"], [(3600, 24 * 40), (86400, 60)], now=now)
+        t0 = time.time()
+        ingest_microbatch(eng, pts, batch_id=0, now=now)
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt),
+    }
 
 
 if __name__ == "__main__":
