@@ -1,0 +1,230 @@
+"""Whisper/Hoard binary-file source — the migration path off the reference.
+
+The reference persists each metric as one ring-buffer file (header
+``!2LfL``, archive directory ``!3L`` per tier, points ``!Ld`` —
+src/hoard.coffee:13-26, 54-65; the same public format as BSD-licensed
+Graphite Whisper). A reference deployment is a tree of such files; this
+module imports that tree into the engine's Parquet layout.
+
+Scale shape: ``spark.read.format("binaryFile")`` lists and reads the files
+distributively (one row per file, content as bytes), and an Arrow-batched
+``mapInPandas`` stage unpacks the rings into point rows — so a million-file
+migration fans out across the cluster instead of looping on the driver.
+Header-only parsing for catalog registration reads just the files' bytes it
+needs per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hoard_spark.functions import bucket_date_col
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+METADATA_FMT = "!2LfL"
+ARCHIVE_FMT = "!3L"
+POINT_FMT = "!Ld"
+METADATA_SIZE = struct.calcsize(METADATA_FMT)
+ARCHIVE_SIZE = struct.calcsize(ARCHIVE_FMT)
+POINT_SIZE = struct.calcsize(POINT_FMT)
+
+POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("tier", T.IntegerType()),
+        T.StructField("bucket_ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+POLICY_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("x_files_factor", T.DoubleType()),
+        T.StructField("last_update", T.LongType()),
+        T.StructField(
+            "archives",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("seconds_per_point", T.IntegerType()),
+                        T.StructField("points", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def metric_name(path: str) -> str:
+    """Graphite convention: dirs + stem joined by dots, extension dropped
+    (``carbon/agents/host-01/cpuUsage.wsp`` → leaf name only here — the
+    caller owns any directory-to-dot mapping policy)."""
+    base = os.path.basename(path)
+    return base.rsplit(".", 1)[0] if "." in base else base
+
+
+def parse_header(raw: bytes) -> tuple[int, int, float, list[tuple[int, int, int]]]:
+    """→ (last_update, max_retention, xff, [(offset, spp, points)...])."""
+    last_update, max_retention, xff, archive_count = struct.unpack_from(
+        METADATA_FMT, raw, 0
+    )
+    archives = []
+    pos = METADATA_SIZE
+    for _ in range(archive_count):
+        archives.append(struct.unpack_from(ARCHIVE_FMT, raw, pos))
+        pos += ARCHIVE_SIZE
+    return last_update, max_retention, float(xff), archives
+
+
+def parse_points(raw: bytes) -> Iterator[tuple[int, int, float]]:
+    """→ (tier, interval, value) for every written slot (interval != 0)."""
+    _, _, _, archives = parse_header(raw)
+    for tier, (offset, _spp, points) in enumerate(archives):
+        for i in range(points):
+            interval, value = struct.unpack_from(
+                POINT_FMT, raw, offset + i * POINT_SIZE
+            )
+            if interval != 0:
+                yield tier, interval, float(value)
+
+
+def read_points(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Whisper tree → (metric, tier, bucket_ts, value), distributed."""
+    import pandas as pd  # executor-side
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = metric_name(path)
+                for tier, interval, value in parse_points(bytes(content)):
+                    rows.append((m, tier, interval, value))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in POINTS_SCHEMA.fields]
+            )
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("path", "content").mapInPandas(unpack, POINTS_SCHEMA)
+
+
+def read_policies(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Whisper tree → one policy row per file (header-only parse)."""
+    import pandas as pd  # executor-side
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                last_update, _max_ret, xff, archives = parse_header(
+                    bytes(content)
+                )
+                rows.append(
+                    (
+                        metric_name(path),
+                        xff,
+                        last_update,
+                        [(spp, pts) for _off, spp, pts in archives],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in POLICY_SCHEMA.fields]
+            )
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("path", "content").mapInPandas(unpack, POLICY_SCHEMA)
+
+
+def _with_layout(engine, df: DataFrame) -> DataFrame:
+    if engine.metric_buckets:
+        df = df.withColumn(
+            "mb",
+            F.pmod(
+                F.crc32(F.col("metric").cast("binary")),
+                F.lit(engine.metric_buckets),
+            ).cast("int"),
+        )
+    return df
+
+
+def import_tree(engine, path_glob: str, now: int | None = None) -> int:
+    """Full migration: register each file's policy in the catalog and land
+    its ring contents in the engine's native layout. Returns the number of
+    imported slots.
+
+    Tier semantics matter here:
+
+    - **Tier 0** slots are raw points → the points table, with ``seq = -1``
+      so any later live write to the same bucket wins LWW (the ring kept
+      one value per slot; import must not shadow fresh data).
+    - **Tiers >= 1** slots are the reference's MATERIALIZED rollup results
+      (often computed from tier-0 data that has since wrapped out of the
+      ring) → the rollups table, marked materialized. Re-deriving them from
+      whatever tier-0 survives would silently change history; the reference
+      serves the stored slots verbatim, so the import does too. ``known``
+      is recorded as 0 (the ring does not store it); the next incremental
+      propagate over a bucket recomputes it from live data.
+
+    Landing is a direct partitioned append (the rings are already
+    bucket-aligned per tier — age-based re-routing through updateMany would
+    wrongly re-tier history relative to ``now``).
+    """
+    import time as _time
+
+    policies = read_policies(engine.spark, path_glob).collect()
+    for r in policies:
+        if not engine.catalog.exists(r["metric"]):
+            engine.create(
+                r["metric"],
+                [(a["seconds_per_point"], a["points"]) for a in r["archives"]],
+                x_files_factor=r["x_files_factor"],
+                now=int(now if now is not None else _time.time()),
+            )
+
+    pts = read_points(engine.spark, path_glob).persist()
+
+    tier0 = _with_layout(
+        engine,
+        pts.where(F.col("tier") == 0)
+        .withColumn("seq", F.lit(-1).cast("long"))
+        .withColumn("ts", F.col("bucket_ts"))
+        .withColumn("date", bucket_date_col(F.col("bucket_ts")))
+        .select("bucket_ts", "value", "seq", "ts", "tier", "metric", "date"),
+    )
+    (
+        tier0.sortWithinPartitions("metric", "bucket_ts")
+        .write.partitionBy(*engine._part_cols)
+        .mode("append")
+        .parquet(engine.points_path)
+    )
+
+    coarse = _with_layout(
+        engine,
+        pts.where(F.col("tier") >= 1)
+        .withColumn("known", F.lit(0).cast("long"))
+        .withColumn("date", bucket_date_col(F.col("bucket_ts")))
+        .select("bucket_ts", "value", "known", "tier", "metric", "date"),
+    )
+    (
+        coarse.sortWithinPartitions("metric", "bucket_ts")
+        .write.partitionBy(*engine._part_cols)
+        .mode("append")
+        .parquet(engine.rollups_path)
+    )
+    for r in policies:
+        for tier in range(1, len(r["archives"])):
+            engine._mark_materialized(tier, [r["metric"]])
+
+    n = pts.count()
+    pts.unpersist()
+    return n
