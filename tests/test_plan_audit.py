@@ -1,0 +1,99 @@
+"""Physical-plan audits (the 100 TB discipline, SURVEY.md §4).
+
+Correct results with a wrong plan do not survive a 1000-executor cluster;
+these tests pin the plan properties that matter at scale:
+
+- filter pushdown reaches the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema carries only used columns),
+- small dimensions broadcast instead of shuffling the fact table,
+- fetch prunes to the queried (tier, metric) partitions,
+- whole-stage codegen covers the scalar-heavy pipelines (no Python UDFs
+  anywhere in the conformance surface).
+"""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoard_spark.queries import all_queries
+
+SF = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+REG = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(REG["q06_filter"].spark_fn(spark, SF))
+    assert "PushedFilters: [" in plan
+    # the BETWEEN bounds must reach parquet, not sit in a post-scan Filter
+    assert "GreaterThanOrEqual(l_quantity,10" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(REG["q06_filter"].spark_fn(spark, SF))
+    read = plan.split("ReadSchema:")[-1]
+    # q06 projects 2 columns and filters on 3 more; the 16-column lineitem
+    # schema must NOT be read wholesale
+    assert "l_extendedprice" not in read
+    assert "l_comment" not in read
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = plan_of(REG["q08_inner_join_agg"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, (
+        "customer (small dim) should broadcast, not shuffle the fact side"
+    )
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = plan_of(REG["q15_multiway_join"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udfs_in_conformance_surface(spark):
+    """Everything except the two declared mapInPandas multimodal stages
+    (q45/q46) must stay JVM-side."""
+    offenders = []
+    for name, q in REG.items():
+        plan = plan_of(q.spark_fn(spark, SF))
+        if "BatchEvalPython" in plan or "PythonUDF" in plan:
+            offenders.append(name)
+        if "MapInPandas" in plan and name not in (
+            "q45_mm_features", "q46_frame_sample"
+        ):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_whole_stage_codegen_covers_scalar_pipelines(spark):
+    for name in ("q07_projection_math", "q29_math_fns", "q41_quality_score"):
+        df = REG[name].spark_fn(spark, SF)
+        # AQE only materializes codegen stages in the FINAL plan: execute
+        # THIS df's QueryExecution (a write would plan a separate one),
+        # then audit
+        df.collect()
+        plan = plan_of(df)
+        # codegen stages render as "*(n) Operator" in the simple plan string
+        assert re.search(r"\*\(\d+\)", plan), name
+
+
+def test_fetch_prunes_partitions(spark, engine):
+    engine.create("cpu", [(3600, 48), (86400, 30)])
+    now = 1_400_000_000
+    engine.update_many(
+        "cpu", [(now - 3600 * i, float(i)) for i in range(40)], now=now
+    )
+    engine.create("other", [(3600, 48), (86400, 30)])
+    engine.update_many("other", [(now - 60, 9.0)], now=now)
+    _ti, df = engine.fetch_dataframe("cpu", now - 7200, now, now=now)
+    plan = plan_of(df)
+    scan = plan.split("PartitionFilters:")[1] if "PartitionFilters:" in plan else ""
+    assert "metric" in scan and "tier" in scan, (
+        "fetch scan must prune on the (tier, metric) partition columns:\n"
+        + plan
+    )
