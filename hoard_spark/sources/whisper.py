@@ -228,3 +228,78 @@ def import_tree(engine, path_glob: str, now: int | None = None) -> int:
     n = pts.count()
     pts.unpersist()
     return n
+
+
+# ---------------------------------------------------------------------------
+# export: engine -> Whisper binary files (the reverse migration)
+# ---------------------------------------------------------------------------
+
+
+def _pack_metric(
+    archives: list[tuple[int, int]],
+    xff: float,
+    tier_rows: dict[int, list[tuple[int, float]]],
+    now: int,
+) -> bytes:
+    """Build one valid Whisper file image (header + ring per tier).
+
+    Ring placement follows the reference reader's contract
+    (src/hoard.coffee:76-118): slot 0 holds the base point; any other
+    interval lands at ``((interval - base) / spp) mod points``. The oldest
+    retained bucket becomes the base so the ring is densely packed.
+    """
+    n = len(archives)
+    header_size = METADATA_SIZE + ARCHIVE_SIZE * n
+    max_retention = max(spp * pts for spp, pts in archives)
+
+    out = bytearray()
+    out += struct.pack(METADATA_FMT, now, max_retention, xff, n)
+    offset = header_size
+    offsets = []
+    for spp, pts in archives:
+        offsets.append(offset)
+        out += struct.pack(ARCHIVE_FMT, offset, spp, pts)
+        offset += pts * POINT_SIZE
+
+    for tier, ((spp, pts), off) in enumerate(zip(archives, offsets)):
+        ring = bytearray(pts * POINT_SIZE)
+        rows = sorted(tier_rows.get(tier, ()))
+        # keep only buckets inside the tier's retention window, newest wins
+        rows = [
+            (b, v) for b, v in rows if now - spp * pts < b <= now
+        ][-pts:]
+        if rows:
+            base = rows[0][0]
+            for bucket, value in rows:
+                idx = ((bucket - base) // spp) % pts
+                struct.pack_into(POINT_FMT, ring, idx * POINT_SIZE, bucket, value)
+        out += ring
+    return bytes(out)
+
+
+def export_metric(engine, metric: str, path: str, now: int | None = None) -> None:
+    """Write one metric back to a reference-readable ``.wsp`` file.
+
+    A ring file is bounded by construction (sum of archive sizes), so the
+    per-metric collect is inherently small; bulk export of many metrics
+    loops here — at fleet scale you would fan this over an executor-side
+    ``foreachPartition`` with the same pack function.
+    """
+    import time as _time
+
+    now = int(now if now is not None else _time.time())
+    info = engine.catalog.info(metric)
+    tier_rows: dict[int, list[tuple[int, float]]] = {}
+    for a in info.archives:
+        tier_rows[a.tier] = [
+            (r["bucket_ts"], r["value"])
+            for r in engine.tier_view(metric, a.tier).collect()
+        ]
+    raw = _pack_metric(
+        [(a.seconds_per_point, a.points) for a in info.archives],
+        info.x_files_factor,
+        tier_rows,
+        now,
+    )
+    with open(path, "wb") as f:
+        f.write(raw)
