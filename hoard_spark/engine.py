@@ -507,6 +507,45 @@ class HoardEngine:
         view = self.tier_view(metric, archive.tier)
         return ti, fetch_df(view, ti)
 
+    # ---------------------------------------------------------------- SQL
+    def register_sql_views(self, prefix: str = "hoard") -> None:
+        """Expose the warehouse to Spark SQL (new surface — the reference
+        has no query language, SURVEY.md §2B):
+
+        - ``<prefix>_points``   raw appends (pre-LWW, every write visible)
+        - ``<prefix>_series``   LWW-normalized per (metric, tier, bucket)
+        - ``<prefix>_rollups``  materialized downsamples
+        - ``<prefix>_catalog``  one row per metric policy
+
+        All are lazy views over the partitioned parquet roots, so SQL
+        predicates on tier/metric/date prune partitions exactly like the
+        DataFrame paths.
+        """
+        self._read_points().createOrReplaceTempView(f"{prefix}_points")
+        lww(self._read_points()).select(
+            "metric", "tier", "bucket_ts", "value"
+        ).createOrReplaceTempView(f"{prefix}_series")
+        self._read_rollups().createOrReplaceTempView(f"{prefix}_rollups")
+        policies = [
+            (
+                m.metric,
+                m.x_files_factor,
+                m.max_retention,
+                [(a.tier, a.seconds_per_point, a.points) for a in m.archives],
+            )
+            for m in self.catalog._metrics.values()
+        ]
+        self.spark.createDataFrame(
+            policies,
+            "metric string, x_files_factor double, max_retention long, "
+            "archives array<struct<tier:int,seconds_per_point:int,points:int>>",
+        ).createOrReplaceTempView(f"{prefix}_catalog")
+
+    def sql(self, query: str) -> DataFrame:
+        """Run Spark SQL against the registered warehouse views."""
+        self.register_sql_views()
+        return self.spark.sql(query)
+
     # --------------------------------------------------------- maintenance
     def compact(self, metric: str | None = None) -> None:
         """Fold LWW physically: rewrite each tier's points with one row per

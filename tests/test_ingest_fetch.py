@@ -171,3 +171,40 @@ def test_fetch_single_tier_routing(engine):
     ti, values = engine.fetch("t", base - 350, now, now=now)
     assert ti.step == 100
     assert 5.0 in values
+
+
+def test_sql_surface_over_warehouse(engine):
+    """engine.sql(): the Spark SQL face of the warehouse (new surface —
+    the reference is API-only, SURVEY.md §2B)."""
+    now = 1_400_000_000
+    engine.create("cpu", [(3600, 48), (86400, 30)])
+    engine.update_many(
+        "cpu", [(now - 3600 * i, float(i)) for i in range(30)], now=now
+    )
+    # duplicate write into one bucket: raw keeps both, series keeps winner
+    engine.update_many("cpu", [(now - 3600 + 5, 999.0)], now=now)
+
+    raw = engine.sql(
+        "SELECT COUNT(*) AS n FROM hoard_points WHERE metric = 'cpu' AND tier = 0"
+    ).first()["n"]
+    assert raw == 31
+
+    series = {
+        r["bucket_ts"]: r["value"]
+        for r in engine.sql(
+            "SELECT bucket_ts, value FROM hoard_series "
+            "WHERE metric = 'cpu' AND tier = 0 ORDER BY bucket_ts"
+        ).collect()
+    }
+    assert len(series) == 30
+    bucket = (now - 3600 + 5) - (now - 3600 + 5) % 3600
+    assert series[bucket] == 999.0
+
+    cat = engine.sql("SELECT * FROM hoard_catalog").collect()
+    assert [r["metric"] for r in cat] == ["cpu"]
+    assert cat[0]["archives"][0]["seconds_per_point"] == 3600
+
+    rollup = engine.sql(
+        "SELECT COUNT(*) AS n FROM hoard_rollups WHERE metric = 'cpu' AND tier = 1"
+    ).first()["n"]
+    assert rollup >= 1
