@@ -97,3 +97,8 @@ def test_fetch_prunes_partitions(spark, engine):
         "fetch scan must prune on the (tier, metric) partition columns:\n"
         + plan
     )
+    # date pruning is explicit (bucket_ts is a data column and cannot prune
+    # directories): a narrow fetch must carry date bounds into the scan
+    assert "date" in scan, (
+        "fetch scan must prune on the date partition column:\n" + plan
+    )
