@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from hoard_spark.catalog import Catalog, HoardError, MetricInfo
 from hoard_spark.fetch import TimeInfo, collect_values, fetch_df, plan_fetch
-from hoard_spark.functions import align_ts, bucket_date_col
+from hoard_spark.functions import align_ts, bucket_date_col, spine
 from hoard_spark.ingest import Ingestor, lww, prepare_batch, validate_single
 from hoard_spark.rollup import merge_direct, plan_cascade, rollup_tier
 
@@ -571,6 +571,60 @@ class HoardEngine:
             metric, archive.tier, ts_range=(ti.from_interval, ti.to_interval)
         )
         return ti, fetch_df(view, ti)
+
+    def fetch_many_dataframe(
+        self,
+        metrics: list[str],
+        from_ts: int,
+        to_ts: int,
+        now: int | None = None,
+    ) -> tuple[TimeInfo, DataFrame]:
+        """Multi-series fetch: (metric, bucket_ts, value), gap-filled, ONE
+        pruned scan for all metrics sharing a policy (the dashboard shape —
+        N series must not cost N driver round-trips).
+
+        All metrics must share the policy signature so a single tier
+        answers; the per-metric spine is the bucket sequence crossed with
+        the (broadcast-small) metric list.
+        """
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metrics[0])
+        archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
+        view = self._tier_view_many_at(
+            metrics, archive.tier, (ti.from_interval, ti.to_interval)
+        )
+        sp = spine(self.spark, ti.from_interval, ti.to_interval, ti.step)
+        mdf = self.spark.createDataFrame([(m,) for m in metrics], "metric string")
+        grid = sp.crossJoin(F.broadcast(mdf))
+        data = view.where(
+            (F.col("bucket_ts") >= ti.from_interval)
+            & (F.col("bucket_ts") < ti.to_interval)
+        )
+        out = (
+            grid.join(F.broadcast(data), ["metric", "bucket_ts"], "left")
+            .orderBy("metric", "bucket_ts")
+            .select("metric", "bucket_ts", "value")
+        )
+        return ti, out
+
+    def _tier_view_many_at(
+        self, metrics: list[str], tier: int, ts_range: tuple[int, int]
+    ) -> DataFrame:
+        """Like _tier_view_many but with uniform fetch semantics: verify the
+        metrics share one policy signature first."""
+        sig = None
+        for m in metrics:
+            info = self.catalog.info(m)
+            s = tuple(
+                (a.seconds_per_point, a.points) for a in info.archives
+            ) + (info.x_files_factor,)
+            if sig is None:
+                sig = s
+            elif s != sig:
+                raise HoardError(
+                    "fetch_many requires metrics sharing one retention policy"
+                )
+        return self._tier_view_many(metrics, tier, ts_range)
 
     # ---------------------------------------------------------------- SQL
     def register_sql_views(self, prefix: str = "hoard") -> None:

@@ -208,3 +208,40 @@ def test_sql_surface_over_warehouse(engine):
         "SELECT COUNT(*) AS n FROM hoard_rollups WHERE metric = 'cpu' AND tier = 1"
     ).first()["n"]
     assert rollup >= 1
+
+
+def test_fetch_many_matches_per_metric_fetch(engine):
+    """One pruned scan for N series must equal N single fetches."""
+    now = 1_400_000_000
+    metrics = ["cpu.a", "cpu.b", "cpu.c"]
+    for j, m in enumerate(metrics):
+        engine.create(m, [(3600, 48), (86400, 30)])
+        engine.update_many(
+            m,
+            [(now - 3600 * i, float(100 * j + i)) for i in range(0, 30, 2)],
+            now=now,
+        )
+    ti, df = engine.fetch_many_dataframe(metrics, now - 86400, now, now=now)
+    got = {
+        m: [None] * ((ti.to_interval - ti.from_interval) // ti.step)
+        for m in metrics
+    }
+    for r in df.collect():
+        got[r["metric"]][(r["bucket_ts"] - ti.from_interval) // ti.step] = (
+            r["value"]
+        )
+    for m in metrics:
+        single_ti, values = engine.fetch(m, now - 86400, now, now=now)
+        assert single_ti == ti
+        assert got[m] == values, m
+
+
+def test_fetch_many_rejects_mixed_policies(engine):
+    import pytest as _pytest
+
+    from hoard_spark.catalog import HoardError
+
+    engine.create("m1", [(3600, 48), (86400, 30)])
+    engine.create("m2", [(60, 120), (3600, 48), (86400, 30)])
+    with _pytest.raises(HoardError, match="sharing one retention policy"):
+        engine.fetch_many_dataframe(["m1", "m2"], 0, 1, now=2)
