@@ -728,3 +728,75 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", bucket.alias("bucket"), status.alias("status"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q48_sessionize",
+    "gaps-and-islands sessionization: per-user sessions split at >30 min "
+    "idle, session counts and mean duration",
+    """
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER w > 1800000000 OR
+                         LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               COUNT(*) AS n_events,
+               (MAX(us) - MIN(us)) / 1000000.0 AS dur_s
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(CAST(SUM(CAST(dur_s AS DECIMAL(25,10)))
+                AS DOUBLE) / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS avg_dur_s
+    FROM agg GROUP BY user_id ORDER BY user_id
+    """,
+    "streaming-parity analytics: batch sessionization (session_window's "
+    "batch twin; see tests/test_streaming_windows.py for the stream side)",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hoard_spark.queries import dround, dsum10
+
+    t = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    new_s = (
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0)
+    )
+    sess = t.withColumn("new_s", new_s).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("us") - F.min("us")) / 1_000_000.0).alias("dur_s"),
+    )
+    return (
+        agg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            dround(dsum10(F.col("dur_s")) / F.count("*")).alias("avg_dur_s"),
+        )
+        .orderBy("user_id")
+    )
