@@ -19,15 +19,20 @@ Storage layout (all append-only Parquet):
 
 Partitioning by (tier, metric, date) gives partition pruning on every fetch
 (a range fetch touches only the dates it covers) and makes retention drop a
-partition delete. At cluster scale `metric` would be a hashed bucket column
-for very-high-cardinality metric spaces; the layout and code are unchanged.
+partition delete. For very-high-cardinality metric spaces, the opt-in
+hash-bucketed layout (``metric_buckets=N``) swaps the ``metric`` partition
+column for ``mb = crc32(metric) % N`` with ``metric`` as a data column.
+Data-plane filesystem operations go through the Hadoop FileSystem API
+(hoard_spark/fsutil.py) so maintenance works on file://, HDFS and S3
+alike; the driver-side JSON control plane (catalog/seq/layout/markers) is
+the documented single-writer simplification that becomes a metastore table
+in production.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import zlib
 from datetime import datetime, timezone
@@ -38,6 +43,7 @@ from pyspark.sql import types as T
 
 from hoard_spark.catalog import Catalog, HoardError, MetricInfo
 from hoard_spark.fetch import TimeInfo, collect_values, fetch_df, plan_fetch
+from hoard_spark.fsutil import WarehouseFS
 from hoard_spark.functions import align_ts, bucket_date_col, spine
 from hoard_spark.ingest import Ingestor, lww, prepare_batch, validate_single
 from hoard_spark.rollup import merge_direct, plan_cascade, rollup_tier
@@ -90,6 +96,7 @@ class HoardEngine:
         """
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        self.fs = WarehouseFS(spark)  # data plane: works on file://, HDFS, S3
         self.catalog = Catalog(warehouse_dir)
         self.points_path = os.path.join(warehouse_dir, "points")
         self.rollups_path = os.path.join(warehouse_dir, "rollups")
@@ -157,7 +164,7 @@ class HoardEngine:
             return True
         # legacy unbucketed warehouses predate the marker file
         if not self.metric_buckets:
-            return os.path.isdir(
+            return self.fs.isdir(
                 os.path.join(self.rollups_path, f"tier={tier}", f"metric={metric}")
             )
         return False
@@ -260,7 +267,7 @@ class HoardEngine:
 
     def _read_points(self) -> DataFrame:
         schema = self._read_schema(_POINTS_READ_SCHEMA)
-        if not os.path.isdir(self.points_path):
+        if not self.fs.isdir(self.points_path):
             return self.spark.createDataFrame([], schema)
         try:
             return self.spark.read.schema(schema).parquet(self.points_path)
@@ -269,7 +276,7 @@ class HoardEngine:
 
     def _read_rollups(self) -> DataFrame:
         schema = self._read_schema(_ROLLUP_READ_SCHEMA)
-        if not os.path.isdir(self.rollups_path):
+        if not self.fs.isdir(self.rollups_path):
             return self.spark.createDataFrame([], schema)
         try:
             return self.spark.read.schema(schema).parquet(self.rollups_path)
@@ -707,8 +714,7 @@ class HoardEngine:
             .parquet(tmp)
         )
         if metric is None:
-            shutil.rmtree(self.points_path, ignore_errors=True)
-            os.replace(tmp, self.points_path)
+            self.fs.rename(tmp, self.points_path)
         else:
             # swap only the rewritten partitions
             sub = (
@@ -716,16 +722,14 @@ class HoardEngine:
                 if self.metric_buckets
                 else f"metric={metric}"
             )
-            for tier_dir in sorted(os.listdir(tmp)):
+            for tier_dir in self.fs.listdir(tmp):
                 if not tier_dir.startswith("tier="):
                     continue
                 src = os.path.join(tmp, tier_dir, sub)
                 dst = os.path.join(self.points_path, tier_dir, sub)
-                if os.path.isdir(src):
-                    shutil.rmtree(dst, ignore_errors=True)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.replace(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+                if self.fs.isdir(src):
+                    self.fs.rename(src, dst)
+            self.fs.rmtree(tmp)
 
     def drop_expired(self, metric: str, now: int | None = None) -> list[str]:
         """Retention enforcement: delete (tier, metric, date) partitions whose
@@ -736,7 +740,7 @@ class HoardEngine:
         info = self.catalog.info(metric)
         dropped: list[str] = []
         for root in (self.points_path, self.rollups_path):
-            if not os.path.isdir(root):
+            if not self.fs.isdir(root):
                 continue
             for a in info.archives:
                 if self.metric_buckets:
@@ -751,24 +755,22 @@ class HoardEngine:
                     )
                     tier_dirs = [
                         os.path.join(root, f"tier={a.tier}", mb_dir)
-                        for mb_dir in sorted(
-                            os.listdir(os.path.join(root, f"tier={a.tier}"))
+                        for mb_dir in self.fs.listdir(
+                            os.path.join(root, f"tier={a.tier}")
                         )
                         if mb_dir.startswith("mb=")
-                    ] if os.path.isdir(os.path.join(root, f"tier={a.tier}")) else []
+                    ]
                 else:
                     cutoff = now - a.retention
                     tier_dirs = [
                         os.path.join(root, f"tier={a.tier}", f"metric={metric}")
                     ]
                 for tier_dir in tier_dirs:
-                    if not os.path.isdir(tier_dir):
-                        continue
-                    for d in sorted(os.listdir(tier_dir)):
+                    for d in self.fs.listdir(tier_dir):
                         if not d.startswith("date="):
                             continue
                         day_end = _day_start(d.split("=", 1)[1]) + 86400
                         if day_end <= cutoff:
-                            shutil.rmtree(os.path.join(tier_dir, d))
+                            self.fs.rmtree(os.path.join(tier_dir, d))
                             dropped.append(os.path.join(tier_dir, d))
         return dropped

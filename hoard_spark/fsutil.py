@@ -1,0 +1,63 @@
+"""Filesystem operations through the Hadoop FileSystem API.
+
+The engine's maintenance jobs (compact swap, retention drop) and existence
+probes must work wherever the warehouse lives — local disk in tests,
+HDFS/S3/GCS in a 100 TB deployment. Driver-side ``os.path``/``shutil``
+calls only work on the first of those, so every data-path operation goes
+through the JVM's ``org.apache.hadoop.fs.FileSystem``, resolved per-path
+(file:// URIs hit the local FS with identical semantics).
+
+Catalog/seq/layout JSON live next to the driver by design (they are the
+single-writer control plane and become a metastore table in production —
+see hoard_spark/catalog.py); only the data plane goes through Hadoop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class WarehouseFS:
+    """Thin wrapper over Hadoop FileSystem for one warehouse."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def isdir(self, p: str) -> bool:
+        fs = self._fs(p)
+        hp = self._path(p)
+        return fs.exists(hp) and fs.getFileStatus(hp).isDirectory()
+
+    def listdir(self, p: str) -> list[str]:
+        fs = self._fs(p)
+        hp = self._path(p)
+        if not fs.exists(hp):
+            return []
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(hp)
+        )
+
+    def rmtree(self, p: str) -> None:
+        fs = self._fs(p)
+        hp = self._path(p)
+        if fs.exists(hp):
+            fs.delete(hp, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move src to dst, replacing dst (os.replace semantics)."""
+        fs = self._fs(dst)
+        dstp = self._path(dst)
+        if fs.exists(dstp):
+            fs.delete(dstp, True)
+        parent = dstp.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(self._path(src), dstp):
+            raise IOError(f"rename failed: {src} -> {dst}")
