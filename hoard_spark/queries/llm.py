@@ -373,19 +373,20 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("t"))
         .select("doc_id", F.xxhash64("t").alias("fh"))
     )
+    # vote_b = (+1 per set bit, -1 per clear bit) = 2*sum(bit_b) - n, so
+    # vote_b >= 0  <=>  2*sum(bit_b) >= n — plain bit-sums instead of 64
+    # CASE expressions keeps the generated aggregate code small
     vote_cols = [
-        F.sum(
-            F.when(
-                F.expr(f"(shiftright(fh, {b}) & 1L) = 1L"), F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
+        F.sum(F.expr(f"shiftright(fh, {b}) & 1L")).alias(f"s{b}")
         for b in range(64)
     ]
-    votes = feats.groupBy("doc_id").agg(*vote_cols)
+    votes = feats.groupBy("doc_id").agg(
+        F.count("*").alias("nf"), *vote_cols
+    )
     bit_terms = [
-        F.when(F.col(f"v{b}") >= 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
-            F.lit(0).cast("long")
-        )
+        F.when(
+            F.col(f"s{b}") * 2 >= F.col("nf"), F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ]
     h = bit_terms[0]
