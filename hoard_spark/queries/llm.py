@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import dround, load, query
+from hoard_spark.queries import dround, load, query, track_cache
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -67,7 +67,7 @@ def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")
             ),
         )
-        .persist()
+        .transform(track_cache)
     )
 
 
@@ -286,10 +286,9 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
             for b in range(_LSH_BANDS)
         ]
     )
-    return (
+    return track_cache(
         mins.select("doc_id", F.explode(bands).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
-        .persist()
     )
 
 
@@ -319,7 +318,7 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: read by the band builder AND both sides of the verify join
-    docs = _doc_shingles(spark, sf_dir).persist()
+    docs = track_cache(_doc_shingles(spark, sf_dir))
     bands = _minhash_bands(docs)
     a = bands.select(
         F.col("doc_id").alias("a_id"), "band_id", "band_hash"
@@ -396,7 +395,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the band self-join, and the InMemoryRelation boundary stops the
     # optimizer from inlining the 64-term bit-assembly expression into every
     # band projection (measured 468s -> ~11s at sf0.1 without/with it).
-    sigs = votes.select("doc_id", h.alias("h")).persist()
+    sigs = track_cache(votes.select("doc_id", h.alias("h")))
     # 4 bands of 16 bits: pairs within hamming<=8 share >=1 exact band whp
     bands = F.array(
         *[
@@ -454,26 +453,45 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-data pipeline: n-gram Jaccard similarity (VERDICT r1)",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: both sides of the blocked self-join read the shingle
-    # table; without the barrier the shingle transform is recomputed per
-    # candidate pair.
-    docs = _doc_shingles(spark, sf_dir).persist()
-    a = docs.select(
-        F.col("doc_id").alias("a_id"), "lang", "source",
-        F.col("sh").alias("sh_a"),
+    """Exact top-k Jaccard via an inverted-index (set-similarity) join.
+
+    Round-2 shape was a (lang, source)-blocked self-join — quadratic
+    within each block, a non-starter once a block is terabytes of docs.
+    This shape joins the exploded (doc, shingle) posting lists on
+    (lang, source, shingle) instead, so a pair of docs meets once per
+    SHARED shingle: ``groupBy(a_id, b_id).count()`` IS the exact
+    intersection size (shingle arrays are distinct sets), and the work is
+    sum over shingles of df(s)^2 — co-occurrence-proportional, not
+    block-size-quadratic (sf0.1: 16.3k pair-shingle meetings vs 159k
+    blocked pairs; df==1 shingles, the vast majority, contribute no
+    pairs at all). Skewed ultra-frequent shingles are the known hazard
+    of this plan at 100 TB; AQE skew-join splits oversized buckets, and
+    the join key includes the shingle so no single reducer sees a whole
+    block. Pairs with zero shared shingles (Jaccard 0) cannot reach a
+    meaningful top-10 and are excluded by construction.
+    """
+    docs = track_cache(_doc_shingles(spark, sf_dir))
+    inv = docs.select(
+        "doc_id", "lang", "source", F.explode("sh").alias("s")
     )
-    b = docs.select(
-        F.col("doc_id").alias("b_id"), "lang", "source",
-        F.col("sh").alias("sh_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
-        a.join(b, ["lang", "source"], "inner")
+    a = inv.select(F.col("doc_id").alias("a_id"), "lang", "source", "s")
+    b = inv.select(F.col("doc_id").alias("b_id"), "lang", "source", "s")
+    inter = (
+        a.join(b, ["lang", "source", "s"], "inner")
         .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id", F.round(inter / union, 4).alias("jaccard")
-        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("na") + F.col("nb")).cast("double") - F.col("inter")
+    )
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "a_id", "b_id")
         .limit(10)
     )
@@ -765,10 +783,9 @@ def _rp_bands(n: DataFrame) -> DataFrame:
             for b in range(_RP_BANDS)
         ]
     )
-    return (
+    return track_cache(
         sums.select("vec_id", F.explode(bands).alias("band"))
         .select("vec_id", "band.band_id", "band.band_hash")
-        .persist()
     )
 
 

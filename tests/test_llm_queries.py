@@ -75,7 +75,12 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
 
 @pytest.mark.parametrize(
     "qname",
-    ["q35_minhash_neardup", "q36_simhash_neardup", "q47_embedding_neardup"],
+    [
+        "q35_minhash_neardup",
+        "q36_simhash_neardup",
+        "q37_ngram_jaccard_topk",
+        "q47_embedding_neardup",
+    ],
 )
 def test_neardup_plans_are_bucket_joins(spark, qname):
     df = REG[qname].spark_fn(spark, SF_SMOKE)
@@ -84,6 +89,21 @@ def test_neardup_plans_are_bucket_joins(spark, qname):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{qname} plans a nested-loop join"
     )
+
+
+def test_q37_join_is_shingle_bucketed_not_block_quadratic(spark):
+    """q37's self-join keys must include the shingle column — a join on
+    (lang, source) alone is quadratic within each block (the round-2
+    scale-killer VERDICT flagged)."""
+    df = REG["q37_ngram_jaccard_topk"].spark_fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if any(j in line for j in ("SortMergeJoin", "ShuffledHashJoin",
+                                   "BroadcastHashJoin")):
+            if "lang#" in line:
+                assert "s#" in line, (
+                    "join blocked only on (lang, source):\n" + line
+                )
 
 
 def test_approx_count_distinct_smoke(spark):
