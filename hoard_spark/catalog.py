@@ -239,12 +239,24 @@ class Catalog:
 
     def touch(self, metric: str, last_update: int) -> None:
         """Record lastUpdate (header field, src/hoard.coffee:23, 48-52)."""
-        old = self.info(metric)
-        self._metrics[metric] = MetricInfo(
-            metric=old.metric,
-            archives=old.archives,
-            x_files_factor=old.x_files_factor,
-            created_at=old.created_at,
-            last_update=max(old.last_update, int(last_update)),
-        )
+        self.touch_many([metric], last_update)
+
+    def touch_many(self, metrics: list[str], last_update: int) -> None:
+        """Record lastUpdate for a batch of metrics with ONE catalog write.
+
+        The catalog JSON is O(metrics) bytes, so per-metric touch() from a
+        high-cardinality micro-batch would rewrite it per metric —
+        O(metrics^2) driver bytes per batch. Batching keeps the control
+        plane at one write per micro-batch regardless of metric count.
+        """
+        lu = int(last_update)
+        for metric in metrics:
+            old = self.info(metric)
+            self._metrics[metric] = MetricInfo(
+                metric=old.metric,
+                archives=old.archives,
+                x_files_factor=old.x_files_factor,
+                created_at=old.created_at,
+                last_update=max(old.last_update, lu),
+            )
         self._save()

@@ -265,23 +265,35 @@ class HoardEngine:
             list(base.fields) + [T.StructField("mb", T.IntegerType())]
         )
 
-    def _read_points(self) -> DataFrame:
-        schema = self._read_schema(_POINTS_READ_SCHEMA)
-        if not self.fs.isdir(self.points_path):
+    def _read_parquet_root(self, path: str, schema: T.StructType) -> DataFrame:
+        """Read a warehouse root, treating ONLY path-not-found as empty.
+
+        A not-yet-written root is a normal state (fresh warehouse); any
+        other analysis failure — corrupted footers, a conflicting schema —
+        must raise, not silently read as "no data" (a corrupted warehouse
+        answering every fetch with gaps is a wrong answer, not an empty
+        one).
+        """
+        from pyspark.errors import AnalysisException
+
+        if not self.fs.isdir(path):
             return self.spark.createDataFrame([], schema)
         try:
-            return self.spark.read.schema(schema).parquet(self.points_path)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(getattr(e, "errorClass", "") or str(e)):
+                return self.spark.createDataFrame([], schema)
+            raise
+
+    def _read_points(self) -> DataFrame:
+        return self._read_parquet_root(
+            self.points_path, self._read_schema(_POINTS_READ_SCHEMA)
+        )
 
     def _read_rollups(self) -> DataFrame:
-        schema = self._read_schema(_ROLLUP_READ_SCHEMA)
-        if not self.fs.isdir(self.rollups_path):
-            return self.spark.createDataFrame([], schema)
-        try:
-            return self.spark.read.schema(schema).parquet(self.rollups_path)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        return self._read_parquet_root(
+            self.rollups_path, self._read_schema(_ROLLUP_READ_SCHEMA)
+        )
 
     @staticmethod
     def _date_pred(ts_range: tuple[int, int] | None):
@@ -427,7 +439,10 @@ class HoardEngine:
         per-metric driver loop (that was the round-1 scale-killer: a
         100k-metric micro-batch cost O(metrics x tiers) jobs).
         """
-        info = self.catalog.info(metrics[0])
+        # the cascade/xff come from metrics[0]; a caller mixing policies
+        # would get rollups computed with the wrong tier spans, silently
+        # persisted — validate up front like fetch_many does
+        info = self._require_shared_policy(metrics, "propagate_many")
         cascade = plan_cascade(info)
         if not cascade:
             return
@@ -516,16 +531,32 @@ class HoardEngine:
                         "date", "mb"]
                 existing = self._read_rollups().where(F.col("tier") == tier_k)
                 if touched_pairs is not None:
-                    part_keys = sorted(
-                        {f"{self._mb_of(m)}|{d}" for m, d in touched_pairs}
+                    # Tuple-equality joins, NOT string-concat keys: a metric
+                    # name containing the separator (e.g. 'a|2026-01-01')
+                    # must never collide with another (metric, date) pair
+                    # and silently drop a co-bucketed metric's rows.
+                    mb_dates = self.spark.createDataFrame(
+                        sorted(
+                            {
+                                (
+                                    self._mb_of(m),
+                                    datetime.strptime(d, "%Y-%m-%d").date(),
+                                )
+                                for m, d in touched_pairs
+                            }
+                        ),
+                        T.StructType(
+                            [
+                                T.StructField("mb", T.IntegerType()),
+                                T.StructField("date", T.DateType()),
+                            ]
+                        ),
                     )
-                    in_overwritten = F.concat_ws(
-                        "|", F.col("mb"), F.col("date").cast("string")
-                    ).isin(part_keys)
-                    replaced = F.concat_ws(
-                        "|", F.col("metric"), F.col("date").cast("string")
-                    ).isin([f"{m}|{d}" for m, d in touched_pairs])
-                    keep = existing.where(in_overwritten & ~replaced)
+                    keep = existing.join(
+                        F.broadcast(mb_dates), ["mb", "date"], "left_semi"
+                    ).join(
+                        F.broadcast(pairs_df), ["metric", "date"], "left_anti"
+                    )
                 else:
                     overwritten = out.select("mb", "date").distinct()
                     keep = (
@@ -614,23 +645,32 @@ class HoardEngine:
         )
         return ti, out
 
-    def _tier_view_many_at(
-        self, metrics: list[str], tier: int, ts_range: tuple[int, int]
-    ) -> DataFrame:
-        """Like _tier_view_many but with uniform fetch semantics: verify the
-        metrics share one policy signature first."""
+    def _require_shared_policy(
+        self, metrics: list[str], op: str
+    ) -> MetricInfo:
+        """Verify every metric shares one policy signature; return its info."""
         sig = None
+        first = None
         for m in metrics:
             info = self.catalog.info(m)
             s = tuple(
                 (a.seconds_per_point, a.points) for a in info.archives
             ) + (info.x_files_factor,)
             if sig is None:
-                sig = s
+                sig, first = s, info
             elif s != sig:
                 raise HoardError(
-                    "fetch_many requires metrics sharing one retention policy"
+                    f"{op} requires metrics sharing one retention policy; "
+                    f"{metrics[0]!r} and {m!r} differ"
                 )
+        return first
+
+    def _tier_view_many_at(
+        self, metrics: list[str], tier: int, ts_range: tuple[int, int]
+    ) -> DataFrame:
+        """Like _tier_view_many but with uniform fetch semantics: verify the
+        metrics share one policy signature first."""
+        self._require_shared_policy(metrics, "fetch_many")
         return self._tier_view_many(metrics, tier, ts_range)
 
     # ---------------------------------------------------------------- SQL

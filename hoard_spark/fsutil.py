@@ -51,13 +51,33 @@ class WarehouseFS:
             fs.delete(hp, True)
 
     def rename(self, src: str, dst: str) -> None:
-        """Move src to dst, replacing dst (os.replace semantics)."""
+        """Move src to dst, replacing dst (os.replace semantics).
+
+        Hadoop rename won't replace a non-empty dst, so replacement is
+        rename(dst -> dst.__old), rename(src -> dst), delete(dst.__old):
+        a crash at any point leaves the data recoverable (either dst or
+        dst.__old holds the previous tree, src holds the new one) — unlike
+        delete-then-rename, which has a window with NO live copy. Not
+        atomic as a whole; on S3A each rename is additionally an O(data)
+        server-side copy, so prefer partition-scoped swaps (compact(metric))
+        over whole-root swaps there.
+        """
         fs = self._fs(dst)
         dstp = self._path(dst)
+        trash = None
         if fs.exists(dstp):
-            fs.delete(dstp, True)
+            trash = self._path(dst + ".__old")
+            if fs.exists(trash):
+                fs.delete(trash, True)
+            if not fs.rename(dstp, trash):
+                raise IOError(f"rename failed: {dst} -> {dst}.__old")
         parent = dstp.getParent()
         if parent is not None and not fs.exists(parent):
             fs.mkdirs(parent)
         if not fs.rename(self._path(src), dstp):
+            # put the old tree back so the warehouse stays readable
+            if trash is not None:
+                fs.rename(trash, dstp)
             raise IOError(f"rename failed: {src} -> {dst}")
+        if trash is not None:
+            fs.delete(trash, True)

@@ -79,11 +79,27 @@ def ingest_microbatch(
         per_part_idx = F.monotonically_increasing_id().bitwiseAND(
             F.lit((1 << 33) - 1)
         )
+        # Enforce the 28-bit index budget per row (assert_true is a codegen
+        # expression — no extra job): a partition with >2^28 rows in one
+        # micro-batch would otherwise bleed into the partition-id bits and
+        # corrupt cross-partition LWW ordering.
+        idx_guard = F.coalesce(
+            F.assert_true(
+                per_part_idx < F.lit(1 << 28),
+                F.lit(
+                    "micro-batch partition exceeds 2^28 rows; seq bit "
+                    "budget overflow — repartition the stream or supply "
+                    "a seq column"
+                ),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
         batch_df = batch_df.withColumn(
             "seq",
             (F.lit(int(batch_id)).cast("long") * F.lit(1 << 40))
             + (F.spark_partition_id().cast("long") * F.lit(1 << 28))
-            + per_part_idx,
+            + per_part_idx
+            + idx_guard,
         )
     batch_df = batch_df.select("metric", "ts", "value", "seq")
 
@@ -104,15 +120,13 @@ def ingest_microbatch(
         info = engine.catalog.info(sig_metrics[0])
         sub = batch_df.where(F.col("metric").isin(sig_metrics))
         prepared = engine.ingestor.append(sub, info, now)
-        for m in sig_metrics:
-            engine.catalog.touch(m, now)
+        # ONE catalog write per policy group (touch_many), not one per
+        # metric — the control plane stays O(1) writes per micro-batch.
+        engine.catalog.touch_many(sig_metrics, now)
         if propagate and len(info.archives) > 1:
             # ONE multi-metric cascade per policy group: O(tiers) Spark
             # jobs per micro-batch, independent of metric count.
             engine.propagate_many(sig_metrics, batch=prepared)
-        else:
-            for m in sig_metrics:
-                engine.catalog.touch(m, now)
 
 
 def start_ingest(

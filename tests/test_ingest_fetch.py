@@ -245,3 +245,57 @@ def test_fetch_many_rejects_mixed_policies(engine):
     engine.create("m2", [(60, 120), (3600, 48), (86400, 30)])
     with _pytest.raises(HoardError, match="sharing one retention policy"):
         engine.fetch_many_dataframe(["m1", "m2"], 0, 1, now=2)
+
+
+# ------------------------------------------------- warehouse robustness
+def test_corrupted_warehouse_raises_not_empty(engine):
+    """A corrupted warehouse must raise, never silently read as 'no data'
+    (round-2 VERDICT: the broad except turned corruption into gaps)."""
+    import pathlib
+
+    now = 1_400_000_000
+    engine.create("m", [(60, 60), (3600, 48)])
+    engine.update_many("m", [(now - 60, 1.0)], now=now)
+    part = next(pathlib.Path(engine.points_path).rglob("*.parquet")).parent
+    (part / "part-corrupt.parquet").write_bytes(b"garbage-not-parquet")
+    with pytest.raises(Exception, match="(?i)parquet|FAILED_READ_FILE"):
+        engine._read_points().count()
+
+
+def test_conflicting_partition_layout_raises(engine):
+    """A foreign partition directory under the points root is corruption,
+    not emptiness."""
+    import pathlib
+
+    now = 1_400_000_000
+    engine.create("m", [(60, 60), (3600, 48)])
+    engine.update_many("m", [(now - 60, 1.0)], now=now)
+    bad = pathlib.Path(engine.points_path) / "oops=1"
+    bad.mkdir(parents=True)
+    (bad / "p.parquet").write_bytes(b"garbage")
+    with pytest.raises(Exception):
+        engine._read_points().count()
+
+
+def test_propagate_many_rejects_mixed_policies(engine):
+    engine.create("a", [(60, 60), (3600, 48)])
+    engine.create("b", [(60, 120), (3600, 48)])
+    with pytest.raises(HoardError, match="sharing one retention policy"):
+        engine.propagate_many(["a", "b"])
+
+
+def test_fs_rename_replaces_and_keeps_recovery_copy_semantics(engine, tmp_path):
+    """rename(src, dst) must replace a non-empty dst and never leave a
+    window with no live copy (trash-path swap, not delete-then-rename)."""
+    import pathlib
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "sub").mkdir(parents=True)
+    (src / "sub" / "f.txt").write_text("new")
+    (dst / "sub").mkdir(parents=True)
+    (dst / "sub" / "f.txt").write_text("old")
+    engine.fs.rename(str(src), str(dst))
+    assert (dst / "sub" / "f.txt").read_text() == "new"
+    assert not src.exists()
+    assert not pathlib.Path(str(dst) + ".__old").exists()

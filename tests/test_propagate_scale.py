@@ -76,3 +76,30 @@ def test_multi_metric_rollup_values_match_single_metric_path(spark, engine):
         for r in engine._read_rollups().where(F.col("tier") == 1).collect()
     }
     assert got == expect
+
+
+def test_one_catalog_write_per_microbatch(spark, tmp_path, monkeypatch):
+    """The control plane must write the catalog ONCE per policy group per
+    micro-batch (touch_many), not once per metric — per-metric _save() is
+    O(metrics^2) driver bytes per batch (round-2 VERDICT)."""
+    from hoard_spark.catalog import Catalog
+    from hoard_spark.engine import HoardEngine
+
+    engine = HoardEngine(spark, str(tmp_path / "wh_touch"))
+    for m in range(N_METRICS):
+        engine.create(f"m{m:03d}", ARCHIVES)
+
+    saves = {"n": 0}
+    orig = Catalog._save
+
+    def counting_save(self):
+        saves["n"] += 1
+        orig(self)
+
+    monkeypatch.setattr(Catalog, "_save", counting_save)
+    ingest_microbatch(engine, _batch_df(spark, N_METRICS), batch_id=0, now=NOW)
+    # one policy group in this batch => exactly one catalog write
+    assert saves["n"] == 1, (
+        f"{saves['n']} catalog writes for one micro-batch of {N_METRICS} "
+        "metrics — control plane is per-metric again"
+    )
