@@ -12,16 +12,23 @@ near-dup Q47); this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Make hoard_spark importable regardless of the driver's cwd.
+# Make hoard_spark importable regardless of the driver's cwd — both driver-
+# side (sys.path) and executor-side (PYTHONPATH, inherited by the Python
+# workers of any SparkSession created after this import; mapInPandas
+# closures reference hoard_spark module functions by name).
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
 from hoard_spark.queries import all_queries  # noqa: E402
 

@@ -26,6 +26,16 @@ def get_spark(
     - shuffle.partitions: for local tests a small fixed number; on a real
       cluster AQE coalesces from a deliberately high initial value.
     """
+    # Python workers must be able to import hoard_spark by name: pandas-UDF
+    # closures reference module-level helpers (pickled by reference), so a
+    # driver running outside the repo dir would otherwise fail executor-side
+    # with ModuleNotFoundError. Exporting PYTHONPATH before the JVM starts
+    # covers local mode; a real cluster ships the package (--py-files/pip).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo + (os.pathsep + pp if pp else "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -54,12 +54,78 @@ def test_attach_payload_rejects_unknown_kind(docs):
         attach_payload(docs, kind="hologram")
 
 
-def test_decode_and_resize_are_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x01", "image")
-    with pytest.raises(NotImplementedError):
-        resize_image(b"\x00\x01", 4, 4)
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    from hoard_spark.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(arr))
+    assert out.shape == (5, 7, 3) and (out == arr).all()
+    # header variants: comments and multi-whitespace are legal PPM
+    body = arr.tobytes()
+    variant = b"P6\n# a comment\n7 5\n255\n" + body
+    assert (decode_ppm(variant) == arr).all()
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from hoard_spark.multimodal import decode_wav, encode_wav
+
+    samples = (np.sin(np.arange(400) / 10.0) * 20000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000 and (got == samples).all()
+
+
+def test_ppm_stream_decode_and_media_dispatch():
+    import numpy as np
+
+    from hoard_spark.multimodal import encode_ppm
+
+    frames = [
+        np.full((2, 2, 3), i, dtype=np.uint8) for i in (0, 100, 200)
+    ]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    got = decode_media(stream, "video")
+    assert len(got) == 3 and all((g == f).all() for g, f in zip(got, frames))
     assert fake_decode(b"\x00\x01") == b"\x00\x01"
+
+
+def test_resize_nearest_neighbor_exact():
+    import numpy as np
+
+    from hoard_spark.multimodal import decode_ppm, encode_ppm
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) % 256
+    rs = decode_ppm(resize_image(encode_ppm(arr), 4, 4))
+    # src = floor(dst * src_dim / dst_dim): rows/cols 0, 2, 4, 6
+    assert (rs == arr[[0, 2, 4, 6]][:, [0, 2, 4, 6]]).all()
+
+
+def test_malformed_payload_raises_not_silent():
+    with pytest.raises(ValueError):
+        decode_media(b"\x00\x01notappm", "image")
+    with pytest.raises(ValueError):
+        decode_media(b"P6\n4 4\n255\n\x00\x01", "image")  # truncated body
+    with pytest.raises(ValueError):
+        decode_media(b"nota-wav", "audio")
+    with pytest.raises(ValueError):
+        decode_media(b"x", "not-a-kind")
+
+
+def test_register_codec_override():
+    from hoard_spark.multimodal import _CODECS, register_codec
+
+    orig = _CODECS["image"]
+    try:
+        register_codec("image", lambda b: b"decoded!")
+        assert decode_media(b"anything", "image") == b"decoded!"
+    finally:
+        register_codec("image", orig)
+    with pytest.raises(ValueError):
+        register_codec("hologram", lambda b: b)
 
 
 def test_extract_features_values(docs):

@@ -64,7 +64,7 @@ def test_no_python_udfs_in_conformance_surface(spark):
         if "BatchEvalPython" in plan or "PythonUDF" in plan:
             offenders.append(name)
         if "MapInPandas" in plan and name not in (
-            "q45_mm_features", "q46_frame_sample"
+            "q45_mm_features", "q46_frame_sample", "q49_decode_resize"
         ):
             offenders.append(name)
     assert offenders == []
