@@ -89,6 +89,7 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     ingest = _bench_ingest(spark)
+    wimport = _bench_whisper_import(spark)
     duck = _bench_duckdb(registry)
 
     print(
@@ -100,10 +101,48 @@ def main() -> None:
                 "queries": timings,
                 "duckdb": duck,
                 "ingest": ingest,
+                "whisper_import": wimport,
                 "sf": sf_of(SF_DIR),
             }
         )
     )
+
+
+def _bench_whisper_import(spark) -> dict:
+    """Migration-path throughput: synthesize a Whisper tree with the
+    engine's own packer (64 files x 1,608 slots, all written), import it
+    distributively, report slots/sec."""
+    import shutil
+    import tempfile
+
+    from hoard_spark.engine import HoardEngine
+    from hoard_spark.sources.whisper import _pack_metric, import_tree
+
+    archives = [(60, 1440), (3600, 168)]  # 1d @ 1min + 7d @ 1h
+    now = 1_400_000_000
+    tree = tempfile.mkdtemp(prefix="hoard_bench_wsp_")
+    wh = tempfile.mkdtemp(prefix="hoard_bench_imp_")
+    try:
+        for i in range(64):
+            tier_rows = {
+                0: [(now - 60 * k, float(i + k)) for k in range(1440)],
+                1: [(now - 3600 * k, float(k)) for k in range(168)],
+            }
+            raw = _pack_metric(archives, 0.5, tier_rows, now)
+            with open(f"{tree}/bench{i:03d}.wsp", "wb") as f:
+                f.write(raw)
+        eng = HoardEngine(spark, wh)
+        t0 = time.time()
+        n = import_tree(eng, f"{tree}/*.wsp", now=now)
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(tree, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+    return {
+        "slots": n,
+        "sec": round(dt, 3),
+        "slots_per_sec": round(n / dt),
+    }
 
 
 def _bench_duckdb(registry) -> dict[str, float]:
