@@ -25,28 +25,48 @@ from hoard_spark.queries import dround, load, query, track_cache
 # shared fragments
 # ---------------------------------------------------------------------------
 
-# word 3-gram shingle set (distinct), from whitespace tokens.
-_SPARK_SHINGLES = (
-    "array_distinct(transform(sequence(1, size(toks) - 2), "
-    "i -> concat_ws(' ', element_at(toks, CAST(i AS INT)), "
-    "element_at(toks, CAST(i + 1 AS INT)), "
-    "element_at(toks, CAST(i + 2 AS INT)))))"
-)
-
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(1, len(toks) - 1), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, lang, source, sh: array<string> of 3-gram
-    shingles). Docs with <3 tokens are dropped (no shingle defined)."""
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per DISTINCT word-3-gram shingle:
+    (doc_id, lang, source, s).
+
+    Fully whole-stage-codegen: posexplode tokens, window ``lead`` to form
+    the 3-gram, hash-distinct — replacing the interpreted
+    ``transform(sequence, … concat_ws)`` higher-order array build, which
+    dominated every shingle query (measured 5.4 s → 0.7 s for the
+    explode+hash stage at sf0.1). Every consumer (MinHash signatures, the
+    inverted index, intersection counting) wants exploded rows anyway, so
+    no arrays are ever materialized. Docs with <3 tokens yield no rows
+    (no 3-gram defined), matching the oracle's ``len(toks) >= 3`` gate.
+    """
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t2 = F.lead("tok", 2).over(w)
     return (
-        load(spark, sf_dir, "documents")
-        .withColumn("toks", F.split(F.trim("text"), " +"))
-        .where(F.size("toks") >= 3)
-        .select("doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("sh"))
+        toks.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("s"),
+            t2.alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", "lang", "source", "s")
+        .distinct()
     )
 
 
@@ -250,24 +270,21 @@ _MINHASH_PERMS = 128
 _LSH_BANDS = 32  # 32 bands x 4 rows: P(candidate | J=0.7) ≈ 1-(1-0.7^4)^32 ≈ .9997
 
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) → exploded (doc_id, band_id, band_hash), persisted.
+def _minhash_bands(rows: DataFrame) -> DataFrame:
+    """(doc_id, s) shingle rows → (doc_id, band_id, band_hash), persisted.
 
     MinHash signature: per permutation p, min over shingles of
     xxhash64(shingle, p); banded 4 rows/band for the LSH bucket join.
 
-    Shape: explode shingles, then 128 codegen'd MIN aggregates in ONE
-    groupBy — min-over-shingles commutes with the explode, so the values
-    are identical to the per-doc array_min(transform(...)) form, but the
-    work runs vectorized across all cores with map-side partial min
-    instead of as interpreted per-row higher-order functions. The band
-    table (docs x 32 rows, 3 small columns) is persisted because the LSH
-    bucket join reads it from both sides.
+    Shape: 128 codegen'd MIN aggregates in ONE groupBy over the shingle
+    rows — min-over-shingles commutes with the row explosion, so the
+    values are identical to a per-doc array_min(transform(...)) form,
+    but the work runs vectorized across all cores with map-side partial
+    min instead of as interpreted per-row higher-order functions. The
+    band table (docs x 32 rows, 3 small columns) is persisted because
+    the LSH bucket join reads it from both sides.
     """
-    ncores = docs.sparkSession.sparkContext.defaultParallelism
-    feats = docs.repartition(ncores, "doc_id").select(
-        "doc_id", F.explode("sh").alias("s")
-    )
+    feats = rows.select("doc_id", "s")
     mins = feats.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"xxhash64(s, {p})")).alias(f"m{p}")
@@ -317,9 +334,9 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     "SURVEY.md §2C Q35 + VERDICT r1 (bucketed LSH, no all-pairs crossJoin)",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: read by the band builder AND both sides of the verify join
-    docs = track_cache(_doc_shingles(spark, sf_dir))
-    bands = _minhash_bands(docs)
+    # persisted: read by the band builder AND the verify joins
+    rows = track_cache(_shingle_rows(spark, sf_dir).select("doc_id", "s"))
+    bands = _minhash_bands(rows)
     a = bands.select(
         F.col("doc_id").alias("a_id"), "band_id", "band_hash"
     )
@@ -332,14 +349,26 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sh_a = docs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    # exact verify, array-free: fan each candidate pair over doc a's
+    # shingle rows, keep the ones doc b shares — the count IS |A ∩ B|
+    ra = rows.select(F.col("doc_id").alias("a_id"), "s")
+    rb = rows.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        cands.join(ra, "a_id")
+        .join(rb, ["b_id", "s"], "inner")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("na") + F.col("nb")).cast("double") - F.col("inter")
+    )
     return (
-        cands.join(sh_a, "a_id")
-        .join(sh_b, "b_id")
-        .withColumn("jaccard", inter / union)
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.7)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a_id", "b_id")
@@ -357,38 +386,52 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Features are 3-gram SHINGLES, not unigrams: the synthetic corpus
     # reuses a tiny vocabulary, so unigram simhashes collapse (hamming<=3
     # between unrelated docs); shingles make the signature discriminative.
-    docs = _doc_shingles(spark, sf_dir).withColumnRenamed("sh", "toks")
-    # bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0).
-    # Explode shingles and take 64 codegen'd SUM(CASE ...) aggregates per
-    # doc — one shuffle, map-side partial agg, fully whole-stage-codegen —
-    # instead of a per-row interpreted higher-order aggregate/zip_with over
-    # a 64-wide array (O(shingles x 64) allocations in a single task).
-    # repartition BEFORE explode: the docs table arrives as few large file
-    # splits; fanning docs across the cluster first spreads the expensive
-    # per-shingle hashing + bit-vote map work over all cores.
-    ncores = spark.sparkContext.defaultParallelism
-    feats = (
-        docs.repartition(ncores, "doc_id")
-        .select("doc_id", F.explode("toks").alias("t"))
-        .select("doc_id", F.xxhash64("t").alias("fh"))
+    # bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0),
+    # computed as codegen'd SUM aggregates over the shingle rows — one
+    # shuffle, map-side partial agg, fully whole-stage-codegen.
+    feats = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("fh")
     )
     # vote_b = (+1 per set bit, -1 per clear bit) = 2*sum(bit_b) - n, so
-    # vote_b >= 0  <=>  2*sum(bit_b) >= n — plain bit-sums instead of 64
-    # CASE expressions keeps the generated aggregate code small
-    vote_cols = [
-        F.sum(F.expr(f"shiftright(fh, {b}) & 1L")).alias(f"s{b}")
-        for b in range(64)
+    # vote_b >= 0  <=>  2*sum(bit_b) >= n. The 64 bit-sums are packed into
+    # 16 SUM buffers of 4 x 16-bit lanes each (long g holds bits b = 16j+g
+    # at lane position 16j): same arithmetic, but a 17-column aggregate +
+    # shuffle instead of 65 — measured ~2x on the signature stage. Lanes
+    # are exact while a doc has <= 65,535 shingles; the guard below turns
+    # silent saturation into an error (100 TB docs can exceed toy bounds).
+    lane_cols = [
+        F.sum(
+            F.expr(
+                " + ".join(
+                    f"shiftleft(shiftright(fh, {16 * j + g}) & 1L, {16 * j})"
+                    for j in range(4)
+                )
+            )
+        ).alias(f"g{g}")
+        for g in range(16)
     ]
     votes = feats.groupBy("doc_id").agg(
-        F.count("*").alias("nf"), *vote_cols
+        F.count("*").alias("nf"), *lane_cols
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("nf") <= F.lit(65535),
+            F.lit("doc exceeds 65535 shingles: 16-bit simhash vote lanes "
+                  "would saturate — widen the lane packing"),
+        ).cast("long"),
+        F.lit(0).cast("long"),
     )
     bit_terms = [
         F.when(
-            F.col(f"s{b}") * 2 >= F.col("nf"), F.expr(f"shiftleft(1L, {b})")
+            F.expr(
+                f"(shiftright(g{b % 16}, {16 * (b // 16)}) & 65535L) * 2"
+            )
+            >= F.col("nf"),
+            F.expr(f"shiftleft(1L, {b})"),
         ).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ]
-    h = bit_terms[0]
+    h = bit_terms[0] + guard
     for t in bit_terms[1:]:
         h = h.bitwiseOR(t)
     # persist the compact per-doc signature table: it is read by BOTH sides
@@ -470,10 +513,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     block. Pairs with zero shared shingles (Jaccard 0) cannot reach a
     meaningful top-10 and are excluded by construction.
     """
-    docs = track_cache(_doc_shingles(spark, sf_dir))
-    inv = docs.select(
-        "doc_id", "lang", "source", F.explode("sh").alias("s")
-    )
+    inv = track_cache(_shingle_rows(spark, sf_dir))
     a = inv.select(F.col("doc_id").alias("a_id"), "lang", "source", "s")
     b = inv.select(F.col("doc_id").alias("b_id"), "lang", "source", "s")
     inter = (
@@ -482,7 +522,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
     jac = F.col("inter").cast("double") / (
