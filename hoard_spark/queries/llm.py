@@ -937,3 +937,139 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round("cos", 3).alias("cos"))
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q51/q52: dedup cluster assignment + reproducible sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_dedup_clusters",
+    "near-dup cluster assignment: connected components over the LSH pair "
+    "graph via min-label propagation",
+    # Oracle: exact-Jaccard pairs (the q35 oracle) + transitive closure as
+    # a recursive CTE; cluster id = min doc_id in the component. The LSH
+    # path recovers every J>=0.7 pair on this corpus (q35 hash-matches),
+    # so the graphs — and therefore the components — coincide.
+    f"""
+    WITH RECURSIVE
+    s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM nodes
+        UNION
+        SELECT e.dst AS doc_id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.doc_id
+    )
+    SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+    "training-data pipeline: dedup cluster assignment (the step after "
+    "pair generation — keep one doc per cluster)",
+)
+def q51(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Connected components by min-label propagation over the near-dup
+    pair graph.
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels (one join + one groupBy — all codegen), until a
+    round changes nothing. Rounds needed = graph diameter (near-dup
+    clusters are shallow — O(log n) for pathological chains), and each
+    round is edge-linear: the standard large-graph CC shape, no driver
+    adjacency state. Labels converge to the component's min doc_id, so
+    the output is deterministic and engine-independent.
+    """
+    pairs = q35(spark, sf_dir).select("a_id", "b_id")
+    edges = track_cache(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("lbl").alias("dlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nlbl"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        # carry old + new labels in ONE cached frame so the convergence
+        # check and the next round share a single materialization
+        stepped = track_cache(
+            labels.join(nbr_min, "doc_id", "left").select(
+                "doc_id",
+                "lbl",
+                F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+            )
+        )
+        changed = (
+            stepped.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
+        )
+        labels = stepped.select("doc_id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("lbl").cast("long").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q52_hash_sample",
+    "reproducible content-hash sampling: ~10% of docs by md5 threshold, "
+    "per-language tallies",
+    # '0x19999999...' / 2^128 ~ 0.1; lowercase-hex md5 strings compare
+    # lexicographically == numerically in both engines, so the sampled
+    # set is identical everywhere — the reproducible-subsample property a
+    # training pipeline needs (rerunning selects the SAME docs).
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE md5(text) < '1999999999999999999999999999999a'
+    GROUP BY lang ORDER BY lang
+    """,
+    "training-data pipeline: deterministic sampling (content-hash "
+    "threshold, engine-independent)",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.md5("text") < "1999999999999999999999999999999a")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -800,3 +800,98 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q50_asof_join",
+    "as-of join: each click matched to the user's most recent preceding "
+    "(or simultaneous) view — union-marker window, no join",
+    """
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, us, max_by(value, event_id) AS v_value
+        FROM e WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_id, user_id, us FROM e WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, v.v_value AS asof_value,
+           CAST(ROUND(CAST((c.us - v.us) / 1000000.0 AS DECIMAL(25,10)), 4)
+                AS DOUBLE) AS gap_s
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.us >= v.us
+    ORDER BY event_id
+    """,
+    "timeseries-pipeline op: as-of join (DuckDB native ASOF as the oracle)",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-marker window — the 100 TB shape.
+
+    Instead of a range join (quadratic per user without interval
+    indexing), tag views kind=0 and clicks kind=1, union, and run ONE
+    window per user ordered by (us, kind): ``last(value, ignorenulls)``
+    over the unbounded-preceding frame carries each view forward to every
+    later click. One shuffle + one sort, no join operator at all; a
+    same-microsecond view sorts before the click (kind order), matching
+    ASOF's ``>=`` bound. Views are pre-deduped to one per (user, us) by
+    highest event_id so ties are engine-independent. Skewed users put one
+    user's history in one task — for pathological keys, split the window
+    by time range and carry boundary state (documented, not needed here).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us"
+    )
+    u = views.select(
+        "user_id",
+        "us",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "v_value",
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "us",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("double").alias("v_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    asof_v = F.last("v_value", ignorenulls=True).over(w)
+    asof_us = F.last(
+        F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("asof_value", asof_v)
+        .withColumn("asof_us", asof_us)
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "asof_value",
+            dround(
+                (F.col("us") - F.col("asof_us")) / F.lit(1_000_000.0)
+            ).alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )

@@ -159,3 +159,47 @@ def test_embedding_neardup_on_planted_clones(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_q50_asof_plan_has_no_join(spark):
+    """The as-of join must plan as a window over a union — one shuffle +
+    one sort, never a join operator (the quadratic range-join shape)."""
+    df = REG["q50_asof_join"].spark_fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "as-of should be the union-marker window:\n" + plan
+    assert "Window" in plan
+
+
+def test_q51_clusters_are_transitive(spark, tmp_path):
+    """A near-dup chain A~B~C (A and C NOT direct near-dups) must land in
+    one cluster — pins transitivity beyond what the natural corpus has."""
+    # 40 distinct tokens -> 38 3-gram shingles. Replacing 4 consecutive
+    # tokens perturbs exactly 6 shingles, so each link has J = 32/44 =
+    # 0.727 >= 0.7 while the chain ends differ in both regions:
+    # J(a, c) = 26/50 = 0.52 < 0.7 — NOT a direct pair.
+    base = [f"tok{i:02d}" for i in range(40)]
+    bt = list(base); bt[4:8] = ["B1", "B2", "B3", "B4"]
+    ct = list(bt); ct[32:36] = ["D1", "D2", "D3", "D4"]
+    a, b, c = " ".join(base), " ".join(bt), " ".join(ct)
+    far = "totally different words nothing shared here at all ok then"
+    rows = [(0, a), (1, b), (2, c), (3, far)]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sf_dir / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REG["q51_dedup_clusters"].spark_fn(spark, str(sf_dir)).collect()
+    }
+    # chain members cluster to min doc_id 0; the unrelated doc is absent
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(2) == 0, got
+    assert 3 not in got
+
+
+def test_q52_sample_is_deterministic(spark):
+    r1 = REG["q52_hash_sample"].spark_fn(spark, SF_SMOKE).collect()
+    r2 = REG["q52_hash_sample"].spark_fn(spark, SF_SMOKE).collect()
+    assert r1 == r2 and sum(r["n_sampled"] for r in r1) > 0
