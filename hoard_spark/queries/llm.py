@@ -1073,3 +1073,42 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q53_text_clean",
+    "text normalization: lowercase, strip punctuation, squeeze whitespace "
+    "— per-language cleaned stats + distinct cleaned hashes",
+    """
+    WITH c AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(clean)) AS BIGINT) AS clean_chars,
+           CAST(COUNT(DISTINCT md5(clean)) AS BIGINT) AS distinct_clean
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    "training-data pipeline: text cleaning/normalization stage (the step "
+    "before dedup/tokenization)",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", clean.alias("clean"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("clean")).cast("long").alias("clean_chars"),
+            F.countDistinct(F.md5("clean")).alias("distinct_clean"),
+        )
+        .orderBy("lang")
+    )

@@ -332,13 +332,94 @@ def _pack_metric(
     return bytes(out)
 
 
-def export_metric(engine, metric: str, path: str, now: int | None = None) -> None:
-    """Write one metric back to a reference-readable ``.wsp`` file.
+def export_tree(
+    engine,
+    out_dir: str,
+    metrics: list[str] | None = None,
+    now: int | None = None,
+) -> int:
+    """Bulk reverse migration: every metric's tiers packed into a
+    reference-readable ``.wsp`` file, EXECUTOR-SIDE.
 
-    A ring file is bounded by construction (sum of archive sizes), so the
-    per-metric collect is inherently small; bulk export of many metrics
-    loops here — at fleet scale you would fan this over an executor-side
-    ``foreachPartition`` with the same pack function.
+    The driver never holds point data: all requested metrics' tier views
+    are read as one DataFrame, grouped by metric, and each group is
+    packed by :func:`_pack_metric` and written from the executor that
+    holds it (``applyInPandas`` — a ring file is bounded by its archive
+    sizes, so one group always fits an Arrow batch). ``out_dir`` must be
+    a filesystem every executor can reach (shared/NFS/local in tests; an
+    object store via a fuse mount — the Whisper format itself is
+    seek-based and has no object-store layout).
+
+    Returns the number of files written. Metrics sharing one policy
+    export together; mixed policies are grouped per policy signature.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    now = int(now if now is not None else _time.time())
+    metrics = metrics if metrics is not None else engine.catalog.metrics()
+    if not metrics:
+        return 0
+    os.makedirs(out_dir, exist_ok=True)
+
+    by_sig: dict[tuple, list[str]] = {}
+    for m in metrics:
+        info = engine.catalog.info(m)
+        sig = tuple(
+            (a.seconds_per_point, a.points) for a in info.archives
+        ) + (info.x_files_factor,)
+        by_sig.setdefault(sig, []).append(m)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    total = 0
+    for sig, group in by_sig.items():
+        archives = [(spp, pts) for spp, pts in sig[:-1]]
+        xff = float(sig[-1])
+        views = []
+        for tier in range(len(archives)):
+            views.append(
+                engine._tier_view_many(group, tier).withColumn(
+                    "tier", SF.lit(tier)
+                )
+            )
+        allpts = views[0]
+        for v in views[1:]:
+            allpts = allpts.unionByName(v)
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd  # executor-side
+
+            m = pdf["metric"].iloc[0]
+            tier_rows: dict[int, list[tuple[int, float]]] = {}
+            for tier, bucket, value in zip(
+                pdf["tier"], pdf["bucket_ts"], pdf["value"]
+            ):
+                tier_rows.setdefault(int(tier), []).append(
+                    (int(bucket), float(value))
+                )
+            raw = _pack_metric(archives, xff, tier_rows, now)
+            with open(os.path.join(out_dir, f"{m}.wsp"), "wb") as f:
+                f.write(raw)
+            return pd.DataFrame({"metric": [m], "n_bytes": [len(raw)]})
+
+        written = (
+            allpts.groupBy("metric")
+            .applyInPandas(pack, out_schema)
+            .count()
+        )
+        total += int(written)
+    return total
+
+
+def export_metric(engine, metric: str, path: str, now: int | None = None) -> None:
+    """Write one metric back to a reference-readable ``.wsp`` file
+    (driver-side single-metric form; bulk export = :func:`export_tree`).
     """
     import time as _time
 
