@@ -1112,3 +1112,220 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# array functions / PII redaction / stratified sampling / quantization
+# (declared round 3, second batch)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q59_array_fns",
+    "array pipeline per doc: split -> distinct -> sort -> slice -> join",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), ' +') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+           array_to_string(
+               list_slice(list_sort(list_distinct(words)), 1, 3), ','
+           ) AS first3
+    FROM w ORDER BY doc_id
+    """,
+    "SURVEY.md §2C extended: array/higher-order function surface — "
+    "split / array_distinct / array_sort / slice / array_join as one "
+    "codegen projection (no explode, no shuffle); oracle = DuckDB list_* "
+    "twins",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole pipeline is a narrow per-row projection — zero shuffles,
+    embarrassingly parallel at any scale. (array_sort/list_sort both
+    compare strings bytewise; corpus is ASCII so collation is moot.)"""
+    words = F.split(F.lower("text"), " +")
+    dw = F.array_distinct(words)
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.size(dw).cast("long").alias("n_distinct"),
+            F.array_join(F.slice(F.array_sort(dw), 1, 3), ",").alias(
+                "first3"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q60_pii_redact",
+    "PII redaction: digit-run scrubbing + per-language leak stats",
+    """
+    WITH r AS (
+        SELECT doc_id, lang, text,
+               regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+               LENGTH(text)
+                 - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (n_digit_chars > 0) AS BIGINT)
+               AS docs_with_digits,
+           CAST(SUM(n_digit_chars) AS BIGINT) AS digit_chars,
+           CAST(COUNT(DISTINCT md5(redacted)) AS BIGINT)
+               AS distinct_redacted
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    "training-data pipeline: PII scrubbing stage (regex redaction before "
+    "training; the real deployment swaps in fuller patterns — emails, "
+    "phones, SSNs — same plan shape)",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection + one partial-aggregated groupBy — scale-safe.
+    Redaction patterns are ordinary Java regexes evaluated inside
+    codegen; no Python in the loop."""
+    red = F.regexp_replace("text", "[0-9]+", "<NUM>")
+    n_digits = F.length("text") - F.length(
+        F.regexp_replace("text", "[0-9]", "")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            red.alias("redacted"),
+            n_digits.alias("n_digit_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("n_digit_chars") > 0).alias(
+                "docs_with_digits"
+            ),
+            F.sum("n_digit_chars").cast("long").alias("digit_chars"),
+            F.countDistinct(F.md5("redacted")).alias("distinct_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q61_stratified_sample",
+    "stratified exact-fraction sampling: 10% per language by hash rank",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_total
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM ranked
+    WHERE rn <= CAST(CEIL(0.1 * n_total) AS BIGINT)
+    GROUP BY lang ORDER BY lang
+    """,
+    "training-data pipeline: stratified sampling — exact per-stratum "
+    "fraction (vs q52's Bernoulli hash threshold), deterministic via "
+    "content-hash ranking",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on lang (the stratum key): rank-by-hash within each
+    stratum, keep ceil(0.1·N). Deterministic (content hash, doc_id
+    tiebreak) and exact-fraction, unlike df.sampleBy which is Bernoulli.
+    Skew note: a 100 TB corpus has few langs ⇒ heavy strata; the window
+    shape still streams (rank is computed in sort order, no
+    materialization), but for extreme strata the q52 threshold sampler
+    is the shuffle-free alternative."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = load(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_total"),
+    )
+    return (
+        ranked.where(
+            F.col("rn") <= F.ceil(F.lit(0.1) * F.col("n_total")).cast("long")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.max("n_total").cast("long").alias("n_total"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q62_embedding_quantize",
+    "int8 symmetric quantization of embeddings + reconstruction error",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM e GROUP BY vec_id
+    ),
+    err AS (
+        SELECT e.label,
+               POWER(e.x - FLOOR(e.x / m.scale + 0.5) * m.scale, 2) AS e2
+        FROM e JOIN m ON e.vec_id = m.vec_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_elems,
+           CAST(ROUND(CAST(CAST(SUM(CAST(e2 * 1000000 AS DECIMAL(38,18)))
+                AS DOUBLE) / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS mse_e6
+    FROM err GROUP BY label ORDER BY label
+    """,
+    "training-data pipeline: embedding int8 quantization (the storage/"
+    "serving compression step) with exact reconstruction-error audit",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode once, per-vector max via a partition window (one shuffle,
+    128 elems per key — no skew possible), quantize/dequantize as codegen
+    arithmetic, aggregate MSE per label. floor(x/s + 0.5) is the
+    round-half-up both engines compute identically on doubles (ROUND on
+    doubles differs between engines on representation ties). Exact
+    DECIMAL(38,18) accumulation of the ×1e6-scaled squared errors keeps
+    the parallel sum order immaterial. Corpus vectors are random normal —
+    max|x| > 0 always (all-zero vectors would need a NULLIF guard)."""
+    from pyspark.sql import Window
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.explode("embedding").alias("xf"))
+        .select("vec_id", "label", F.col("xf").cast("double").alias("x"))
+    )
+    scale = (F.max(F.abs("x")).over(Window.partitionBy("vec_id")) / 127).alias(
+        "scale"
+    )
+    q = F.floor(F.col("x") / F.col("scale") + 0.5)
+    e2 = F.pow(F.col("x") - q * F.col("scale"), 2)
+    return (
+        e.withColumn("scale", scale)
+        .withColumn("e2", e2)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            dround(
+                F.sum((F.col("e2") * 1_000_000).cast("decimal(38,18)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mse_e6"),
+        )
+        .orderBy("label")
+    )

@@ -895,3 +895,233 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# reshaping: pivot / unpivot (declared round 3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q54_pivot",
+    "pivot: lineitem measures spread over l_linestatus columns",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT))
+                FILTER (l_linestatus = 'F') AS BIGINT) AS qty_F,
+           CAST(SUM(CAST(l_quantity AS BIGINT))
+                FILTER (l_linestatus = 'O') AS BIGINT) AS qty_O,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                FILTER (l_linestatus = 'F') AS DOUBLE) AS price_F,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                FILTER (l_linestatus = 'O') AS DOUBLE) AS price_O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "SURVEY.md §2C extended: pivot operator (DataFrame.groupBy().pivot() "
+    "with explicit value list so no extra distinct-scan job is planned; "
+    "oracle = conditional aggregation, the portable twin)",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values ⇒ single-pass plan (no values-discovery scan);
+    the pivot lowers to one hash aggregate with pivot-filtered agg
+    expressions — map-side combinable, scale-safe."""
+    wide = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            dsum(F.col("l_extendedprice")).alias("price"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_qty").cast("long").alias("qty_F"),
+        F.col("O_qty").cast("long").alias("qty_O"),
+        F.col("F_price").alias("price_F"),
+        F.col("O_price").alias("price_O"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q55_unpivot",
+    "unpivot/melt: part numeric measures to long form, per-brand stats",
+    """
+    WITH long AS (
+        SELECT p_partkey, p_brand, 'p_retailprice' AS measure,
+               p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, p_brand, 'p_size' AS measure,
+               CAST(p_size AS DOUBLE) AS val FROM part
+    )
+    SELECT p_brand, measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM long GROUP BY p_brand, measure ORDER BY p_brand, measure
+    """,
+    "SURVEY.md §2C extended: unpivot/melt operator (DataFrame.unpivot — "
+    "Spark's Expand node, one pass, no join; oracle = UNION ALL twin)",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot lowers to Expand (each input row emitted once per measure
+    inside the same stage) — strictly better than the UNION ALL twin,
+    which scans the table once per measure."""
+    long = (
+        load(spark, sf_dir, "part")
+        .withColumn("p_size", F.col("p_size").cast("double"))
+        .unpivot(
+            ["p_partkey", "p_brand"],
+            ["p_retailprice", "p_size"],
+            "measure",
+            "val",
+        )
+    )
+    return (
+        long.groupBy("p_brand", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("val")).alias("total"),
+        )
+        .orderBy("p_brand", "measure")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles / range join / skew-safe aggregation (declared round 3)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q56_percentiles",
+    "exact continuous percentiles (p25/median/p75/p90) per return flag",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.25)
+                AS DECIMAL(25,10)), 4) AS DOUBLE) AS p25,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5)
+                AS DECIMAL(25,10)), 4) AS DOUBLE) AS p50,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.75)
+                AS DECIMAL(25,10)), 4) AS DOUBLE) AS p75,
+           CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.9)
+                AS DECIMAL(25,10)), 4) AS DOUBLE) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "SURVEY.md §2C extended: exact percentile aggregation (Spark "
+    "percentile() == DuckDB quantile_cont(), both linear-interpolating; "
+    "approx_percentile is the documented 100 TB path — t-digest sketch, "
+    "mergeable, no full sort — pinned engine-side in tests)",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile is a per-group sort — fine per-group at any scale
+    when groups are bounded (3 flags); for high-cardinality groups switch
+    to approx_percentile (t-digest, map-side mergeable)."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = lambda q: dround(F.expr(f"percentile(l_extendedprice, {q})"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            pct(0.25).alias("p25"),
+            pct(0.5).alias("p50"),
+            pct(0.75).alias("p75"),
+            pct(0.9).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q57_range_join",
+    "range/band join: parts bucketed into price bands via interval join",
+    """
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(25,10)))
+                AS DOUBLE) / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS avg_price
+    FROM part p JOIN (VALUES ('b0_lt925', 0.0, 925.0),
+                             ('b1_925_950', 925.0, 950.0),
+                             ('b2_950_975', 950.0, 975.0),
+                             ('b3_975_990', 975.0, 990.0),
+                             ('b4_ge990', 990.0, 1e18)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    "SURVEY.md §2C extended: non-equi interval join (broadcast the tiny "
+    "band dimension ⇒ BroadcastNestedLoopJoin, linear in the fact side; "
+    "oracle = VALUES-list range join)",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band dim is broadcast ⇒ the range join is a linear scan of part
+    with an O(bands) probe per row — the 100 TB shape for banding /
+    histogram-bucket joins. (Equi-bucketing via width_bucket would also
+    work; the point here is the general interval-join operator.)"""
+    bands = spark.createDataFrame(
+        [
+            ("b0_lt925", 0.0, 925.0),
+            ("b1_925_950", 925.0, 950.0),
+            ("b2_950_975", 950.0, 975.0),
+            ("b3_975_990", 975.0, 990.0),
+            ("b4_ge990", 990.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    p = load(spark, sf_dir, "part")
+    joined = p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            davg("p_retailprice").alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "q58_salted_agg",
+    "skew-safe two-phase (salted) aggregation == plain group-by",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "SURVEY.md §2C extended: salting discipline for skewed keys — "
+    "explicit two-phase aggregate (salt -> partial -> merge) that the "
+    "oracle's plain GROUP BY must hash-match exactly (decimal "
+    "accumulation makes the merge order immaterial)",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 group keys over the whole table is the canonical skew shape: a
+    naive shuffle lands each key's entire volume on one reducer. Phase 1
+    aggregates (key, salt) — 32-way spread, map-side combinable — phase 2
+    merges the 32 partials per key. Exact DECIMAL(38,6) accumulation in
+    both phases keeps the result independent of merge order, so the
+    salted plan hash-matches the plain GROUP BY oracle. (Spark's own AQE
+    skew handling covers joins, not aggregations — this is the agg-side
+    recipe.)"""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(32)).alias(
+            "salt"
+        ),
+    )
+    partial = li.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("psum"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.sum("psum").cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

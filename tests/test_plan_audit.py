@@ -102,3 +102,53 @@ def test_fetch_prunes_partitions(spark, engine):
     assert "date" in scan, (
         "fetch scan must prune on the date partition column:\n" + plan
     )
+
+
+def test_pivot_is_single_pass(spark):
+    """Explicit pivot values => one parquet scan (no values-discovery
+    job) and one aggregate pipeline."""
+    plan = plan_of(REG["q54_pivot"].spark_fn(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_range_join_broadcasts_band_dim(spark):
+    """The interval join must broadcast the tiny band dimension — a
+    shuffle/sort-merge here would move the whole fact side for a
+    5-row dim."""
+    plan = plan_of(REG["q57_range_join"].spark_fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """The two-phase salted aggregate must be bit-identical to the
+    single-phase plan it replaces (decimal accumulation makes merge
+    order immaterial)."""
+    got = {
+        r["l_returnflag"]: (r["n"], r["revenue"])
+        for r in REG["q58_salted_agg"].spark_fn(spark, SF).collect()
+    }
+    from hoard_spark.queries import load as _load
+
+    want = {
+        r["l_returnflag"]: (r["n"], r["revenue"])
+        for r in (
+            _load(spark, SF, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_unpivot_lowers_to_expand_single_scan(spark):
+    """unpivot must plan as Expand over ONE scan, not a UNION of
+    per-measure scans."""
+    plan = plan_of(REG["q55_unpivot"].spark_fn(spark, SF))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
