@@ -203,3 +203,17 @@ def test_q52_sample_is_deterministic(spark):
     r1 = REG["q52_hash_sample"].spark_fn(spark, SF_SMOKE).collect()
     r2 = REG["q52_hash_sample"].spark_fn(spark, SF_SMOKE).collect()
     assert r1 == r2 and sum(r["n_sampled"] for r in r1) > 0
+
+
+def test_approx_percentile_smoke(spark):
+    """q56's documented 100 TB path: approx_percentile (t-digest-style
+    sketch, map-side mergeable, no per-group sort) must land within 1%
+    of the exact interpolated percentile."""
+    li = load(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.5, 10000)"
+        ).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.01
