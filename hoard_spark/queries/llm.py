@@ -1329,3 +1329,139 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q63_chunking",
+    "sliding-window document chunking: 100-word chunks, stride 80",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, ' +') AS words,
+               len(string_split_regex(text, ' +')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, words,
+               unnest(range(0, n, 80)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start // 80 AS INT) AS chunk_idx,
+           CAST(len(list_slice(words, start + 1, start + 100)) AS INT)
+               AS n_words,
+           md5(array_to_string(
+               list_slice(words, start + 1, start + 100), ' '
+           )) AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    "training-data pipeline: chunking for embedding/context windows — "
+    "100-word sliding windows with 20-word overlap (stride 80), the "
+    "stage between cleaning and embedding",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence() builds the stride-80 start offsets per doc, posexplode
+    emits (chunk_idx, start), slice() cuts the window — all codegen
+    array ops, one narrow explode (fan-out = n_words/80 per doc), zero
+    joins. At 100 TB this is the exact map-side shape you want: chunking
+    never shuffles; downstream embedding batches by chunk."""
+    words = F.split("text", " +")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", words.alias("words"), F.size(words).alias("n")
+    )
+    s = d.select(
+        "doc_id",
+        "words",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(80))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("words", F.col("start") + 1, F.lit(100))
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "q64_tfidf_top_term",
+    "TF-IDF: per-document top term over corpus document frequencies",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+                   ' ')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, word, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, word) AS rk
+        FROM scored
+    )
+    SELECT doc_id, word AS top_term,
+           CAST(ROUND(CAST(score AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS tfidf
+    FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """,
+    "training-data pipeline: TF-IDF term weighting (quality filtering / "
+    "topic signals); corpus-level doc frequencies joined back per term",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash aggregates (tf, df) + one equi-join on word + one per-doc
+    window. The df table is vocabulary-sized (≪ corpus) — at 100 TB the
+    word join is the classic dimension join; Zipf skew on stopwords is
+    absorbed by the tf pre-aggregation (one row per (doc, word), so the
+    hot word's fan-in is bounded by n_docs, not token count)."""
+    from pyspark.sql import Window
+
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(clean, " ")).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            dround(F.col("score")).alias("tfidf"),
+        )
+        .orderBy("doc_id")
+    )
