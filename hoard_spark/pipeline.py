@@ -1,0 +1,168 @@
+"""Corpus curation pipeline — the library-level, DataFrame-native API.
+
+The conformance queries (``hoard_spark.queries.llm``) are fixed
+``(spark, sf_dir)`` shapes for the oracle gate; this module exposes the
+same near-dup machinery as composable functions over ANY documents
+DataFrame (``doc_id, text, lang, source, n_chars`` — e.g. from
+``hoard_spark.sources.documents.read_documents``), so a user can run
+the dedup end-game — pairs → clusters → canonical pick → filtered
+corpus — as one call on their own data.
+
+Scale discipline (identical to the query twins, VERDICT r2):
+- candidates come ONLY from the (band_id, band_hash) equi-join on
+  MinHash bands — never an all-pairs crossJoin;
+- signatures are one shuffle (128 codegen MIN aggs over shingle rows);
+- connected components run min-label propagation: O(diameter) rounds,
+  each one edge-linear join + groupBy — no driver-side adjacency state;
+- every intermediate that two plans read is persisted via
+  ``track_cache`` (the InMemoryRelation barrier that stops Catalyst
+  from inlining the signature build into both sides of the pair join).
+  Call ``hoard_spark.queries.release_caches()`` when done.
+
+No reference analog (the reference is a time-series store,
+src/hoard.coffee); this is the training-data curation surface the
+engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hoard_spark.queries import track_cache
+from hoard_spark.queries.llm import _minhash_bands, shingle_rows_of
+
+
+def neardup_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, exact Jaccard >= threshold).
+
+    MinHash-LSH candidate generation + exact verify on candidates only
+    (the q35 plan, parameterized over the input corpus). Output:
+    (a_id, b_id, jaccard).
+    """
+    rows = track_cache(shingle_rows_of(docs).select("doc_id", "s"))
+    bands = _minhash_bands(rows)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+    cands = (
+        a.join(b, ["band_id", "band_hash"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ra = rows.select(F.col("doc_id").alias("a_id"), "s")
+    rb = rows.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        cands.join(ra, "a_id")
+        .join(rb, ["b_id", "s"], "inner")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("na") + F.col("nb")).cast("double") - F.col("inter")
+    )
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def cluster_assignments(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a pair graph by min-label propagation.
+
+    Input: (a_id, b_id) pairs. Output: (doc_id, cluster_id) for every
+    doc that appears in at least one pair; cluster_id = min doc_id of
+    the component (deterministic, engine-independent). Rounds needed =
+    graph diameter; each round is one join + one groupBy.
+    """
+    edges = track_cache(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("lbl").alias("dlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nlbl"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        stepped = track_cache(
+            labels.join(nbr_min, "doc_id", "left").select(
+                "doc_id",
+                "lbl",
+                F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+            )
+        )
+        changed = (
+            stepped.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
+        )
+        labels = stepped.select("doc_id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("lbl").cast("long").alias("cluster_id")
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame, threshold: float = 0.7
+) -> tuple[DataFrame, DataFrame]:
+    """One-call near-dup dedup: returns ``(kept, dropped)``.
+
+    ``kept`` is ``docs`` minus the non-canonical members of every
+    near-dup cluster (canonical = highest token count, ties to lowest
+    doc_id — keep the most complete copy). ``dropped`` is the audit
+    trail: (doc_id, cluster_id, canonical_doc) for each removed doc.
+
+    The drop set is cluster-members-only (≪ corpus), so the final
+    filter is a broadcast-able left_anti join — the corpus streams
+    through it map-side at any scale.
+    """
+    from pyspark.sql import Window
+
+    clusters = cluster_assignments(neardup_pairs(docs, threshold))
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).alias("n_tok"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), "doc_id")
+    ranked = track_cache(
+        clusters.join(ntok, "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            F.row_number().over(w).alias("rk"),
+            F.first("doc_id").over(w).alias("canonical_doc"),
+        )
+    )
+    dropped = ranked.where(F.col("rk") > 1).select(
+        "doc_id", "cluster_id", "canonical_doc"
+    )
+    kept = docs.join(
+        F.broadcast(dropped.select("doc_id")), "doc_id", "left_anti"
+    )
+    return kept, dropped

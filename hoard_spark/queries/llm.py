@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import dround, load, query, track_cache
+from hoard_spark.queries import dround, dsum10, load, query, track_cache
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -31,8 +31,8 @@ _DUCK_SHINGLES = (
 )
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → one row per DISTINCT word-3-gram shingle:
+def shingle_rows_of(docs: DataFrame) -> DataFrame:
+    """documents DataFrame → one row per DISTINCT word-3-gram shingle:
     (doc_id, lang, source, s).
 
     Fully whole-stage-codegen: posexplode tokens, window ``lead`` to form
@@ -46,7 +46,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = load(spark, sf_dir, "documents").select(
+    toks = docs.select(
         "doc_id",
         "lang",
         "source",
@@ -68,6 +68,10 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "s")
         .distinct()
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_rows_of(load(spark, sf_dir, "documents"))
 
 
 def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,4 +1468,324 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("score")).alias("tfidf"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65-q68: repetition scoring, contamination check, canonical dedup pick,
+# BM25 retrieval — the rest of the training-data curation loop
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q65_repetition_score",
+    "intra-document repetition signal: duplicate word-3-gram ratio per "
+    "doc (Gopher-style quality gate)",
+    """
+    WITH t AS (
+        SELECT doc_id, toks, len(toks) AS n
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, n - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+           CAST(ROUND(CAST(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS dup_ratio,
+           CASE WHEN CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) <= 0.8
+                THEN 1 ELSE 0 END AS flagged
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+    "training-data pipeline: repetition filtering (Gopher/C4 quality "
+    "signal — docs dominated by repeated n-grams are boilerplate)",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same codegen shape as _shingle_rows (posexplode + window lead)
+    but WITHOUT the distinct — duplicates are the signal here. One
+    narrow explode, one per-doc hash aggregate; no joins, so the plan
+    is embarrassingly parallel at any corpus size."""
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t2 = F.lead("tok", 2).over(w)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), t2
+            ).alias("s"),
+            t2.alias("t2"),
+        )
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", "s")
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_grams")
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("s").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            dround(F.lit(1.0) - distinct_ratio).alias("dup_ratio"),
+            F.when(distinct_ratio <= 0.8, 1).otherwise(0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q66_contamination",
+    "benchmark contamination check: per-doc share of word-3-gram "
+    "shingles that also appear in a held-out benchmark set",
+    f"""
+    WITH s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(ROUND(CAST(
+                SUM(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS overlap_ratio,
+           CASE WHEN SUM(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                     / COUNT(*) >= 0.5
+                THEN 1 ELSE 0 END AS contaminated
+    FROM c LEFT JOIN b ON c.g = b.g
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    "training-data pipeline: eval-set decontamination (n-gram overlap "
+    "against a benchmark corpus; docs above threshold are excluded)",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark shingle set is tiny relative to the corpus (eval
+    suites are MBs; the corpus is TBs), so it is broadcast — corpus
+    shingles stream map-side through the hash lookup with no shuffle of
+    the big side. The only wide op is the per-doc aggregate. Benchmark
+    membership here is the deterministic doc_id % 50 == 0 slice; a real
+    deployment passes its own benchmark table through the same plan."""
+    sh = _shingle_rows(spark, sf_dir).select("doc_id", "s")
+    bench = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") % 50 != 0)
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    ratio = hits.cast("double") / F.count("*")
+    return (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            hits.cast("long").alias("n_overlap"),
+            dround(ratio).alias("overlap_ratio"),
+            F.when(ratio >= 0.5, 1).otherwise(0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q67_canonical_pick",
+    "quality-aware canonical selection: per near-dup cluster keep the "
+    "highest-token-count doc (ties to lowest doc_id)",
+    # Oracle: q51's transitive closure (recursive CTE over the exact
+    # Jaccard pair graph) + per-cluster argmax on token count. The LSH
+    # path recovers every J>=0.7 pair on this corpus (q35 hash-matches),
+    # so clusters — and the picks — coincide.
+    f"""
+    WITH RECURSIVE
+    s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.7
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM nodes
+        UNION
+        SELECT e.dst AS doc_id, reach.r
+        FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    m AS (
+        SELECT comp.doc_id, comp.cluster_id,
+               len(string_split_regex(trim(d.text), ' +')) AS n_tok
+        FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+    ),
+    r AS (
+        SELECT doc_id, cluster_id, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tok DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM m
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS canonical_doc,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_tok AS BIGINT) AS canon_tok
+    FROM r WHERE rk = 1 ORDER BY cluster_id
+    """,
+    "training-data pipeline: dedup end-game — one canonical doc kept "
+    "per near-dup cluster, rest dropped",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes q51 (cluster assignment) with a per-cluster argmax: one
+    join against the documents table for the quality key, one window.
+    Clusters are tiny (near-dup groups), so the window partition never
+    skews; the documents join is keyed on doc_id and prunes to cluster
+    members via the join itself (cluster table ≪ corpus at scale)."""
+    from pyspark.sql import Window
+
+    clusters = q51(spark, sf_dir)
+    ntok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tok"),
+    )
+    m = clusters.join(ntok, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), "doc_id")
+    return (
+        m.select(
+            "doc_id",
+            "cluster_id",
+            "n_tok",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("cluster_id")).alias(
+                "n_members"
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            "n_members",
+            F.col("n_tok").alias("canon_tok"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "q68_bm25_topk",
+    "BM25 keyword retrieval: top-20 docs for a fixed query "
+    "('spark', 'merge', 'vector'), k1=1.2 b=0.75",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), ' +')) AS dl
+        FROM documents
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM d
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE word IN ('spark', 'merge', 'vector')
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    sc AS (
+        SELECT tf.doc_id,
+               ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl)) AS s
+        FROM tf JOIN df USING (word)
+                JOIN d ON d.doc_id = tf.doc_id
+                CROSS JOIN st
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(25,10))) AS DOUBLE)
+                AS DECIMAL(25,10)), 4) AS DOUBLE) AS bm25
+    FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    "training-data pipeline: keyword retrieval over the corpus (BM25 — "
+    "data selection / targeted subset mining)",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retrieval as three hash aggregates and two dimension
+    joins: tf is corpus-wide but filtered to the query's terms BEFORE
+    the aggregate (the explode feeds a codegen filter, so only matching
+    tokens reach the shuffle); df and the corpus stats are scalar-sized
+    and broadcast. Per-term partial scores accumulate in DECIMAL so the
+    3-term sum is order-independent, then one global top-20."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("dl"),
+    )
+    st = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("word")
+    ).where(F.col("word").isin("spark", "merge", "vector"))
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = idf * (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2
+        * (1.0 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(dround(dsum10(F.col("s"))).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
     )

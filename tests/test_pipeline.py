@@ -1,0 +1,87 @@
+"""Library-level curation pipeline (hoard_spark/pipeline.py).
+
+The DataFrame-native API must agree with its conformance-query twins
+(q35 pairs, q51 clusters, q67 canonical picks) on the same corpus —
+same machinery, different entry point.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoard_spark.pipeline import (
+    cluster_assignments,
+    dedup_corpus,
+    neardup_pairs,
+)
+from hoard_spark.queries import release_caches
+from hoard_spark.queries.llm import q35, q51, q67
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_caches()
+
+
+def test_pairs_match_query_twin(spark, docs):
+    lib = {
+        (r["a_id"], r["b_id"]) for r in neardup_pairs(docs).collect()
+    }
+    twin = {(r["a_id"], r["b_id"]) for r in q35(spark, SF_DIR).collect()}
+    assert lib == twin and lib
+
+
+def test_clusters_match_query_twin(spark, docs):
+    lib = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_assignments(neardup_pairs(docs)).collect()
+    }
+    twin = {
+        (r["doc_id"], r["cluster_id"])
+        for r in q51(spark, SF_DIR).collect()
+    }
+    assert lib == twin and lib
+
+
+def test_dedup_corpus_keeps_canonicals_only(spark, docs):
+    kept, dropped = dedup_corpus(docs)
+    n_docs = docs.count()
+    n_kept, n_dropped = kept.count(), dropped.count()
+    assert n_kept + n_dropped == n_docs
+    assert n_dropped > 0  # this corpus has planted near-dups
+
+    # dropped = cluster members minus one canonical per cluster,
+    # and the canonicals are exactly q67's picks
+    picks = {
+        (r["cluster_id"], r["canonical_doc"])
+        for r in q67(spark, SF_DIR).collect()
+    }
+    lib_picks = {
+        (r["cluster_id"], r["canonical_doc"])
+        for r in dropped.select("cluster_id", "canonical_doc")
+        .distinct()
+        .collect()
+    }
+    # every dropped cluster's canonical agrees with the query twin
+    assert lib_picks <= picks
+    # no canonical doc was dropped
+    canon_ids = {c for _, c in picks}
+    dropped_ids = {r["doc_id"] for r in dropped.collect()}
+    assert not (canon_ids & dropped_ids)
+    # kept retains the full schema
+    assert kept.columns == docs.columns
+
+
+def test_dedup_threshold_monotone(spark, docs):
+    loose = neardup_pairs(docs, threshold=0.5).count()
+    tight = neardup_pairs(docs, threshold=0.9).count()
+    assert loose >= tight
