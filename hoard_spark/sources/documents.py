@@ -101,6 +101,56 @@ def read_documents(
     )
 
 
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    mode: str = "permissive",
+) -> DataFrame:
+    """Streaming twin of :func:`read_documents` — a file-source stream
+    over a drop directory of JSONL/CSV/Parquet corpus files, with the
+    same explicit schema and corrupt-record policy. Compose with
+    ``hoard_spark.streaming.neardup.NearDupIndex.sink`` for online
+    dedup-on-ingest, or ``writeStream.foreachBatch`` + ``split_corrupt``
+    for a quarantining loader (a streaming frame cannot be persisted, so
+    the two-output split happens inside each micro-batch).
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {sorted(_MODES)}: {mode!r}")
+    if fmt == "jsonl":
+        df = (
+            spark.readStream.schema(_schema_with_corrupt())
+            .option("mode", _MODES[mode])
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+    elif fmt == "csv":
+        df = (
+            spark.readStream.schema(_schema_with_corrupt())
+            .option("header", "true")
+            .option("mode", _MODES[mode])
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+    elif fmt == "parquet":
+        df = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .parquet(path)
+            .withColumn("_corrupt_record", F.lit(None).cast("string"))
+        )
+    else:
+        raise ValueError(f"unknown format: {fmt!r}")
+    return df.withColumn(
+        "n_chars",
+        F.when(
+            F.col("_corrupt_record").isNull(),
+            F.coalesce(F.col("n_chars"), F.length("text").cast("long")),
+        ),
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantine): good rows in canonical schema, bad rows as
     (doc_id, raw ``_corrupt_record``) for audit/replay. Quarantining

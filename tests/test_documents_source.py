@@ -82,3 +82,69 @@ def test_partitioned_write_prunes_on_lang(spark, docs, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0], plan
+
+
+def _jsonl_doc(doc_id, text):
+    return (
+        f'{{"doc_id": {doc_id}, "text": "{text}", '
+        f'"lang": "en", "source": "web"}}\n'
+    )
+
+
+def test_stream_documents_jsonl(spark, tmp_path):
+    """Streaming twin: same schema, n_chars derivation, corrupt rows
+    carried (not dropped) — driven through a real availableNow stream."""
+    from hoard_spark.sources.documents import stream_documents
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        _jsonl_doc(1, "hello world") + "garbage line\n" + _jsonl_doc(2, "x y")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_documents(spark, str(src), fmt="jsonl")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[1]["n_chars"] == 11 and rows[2]["n_chars"] == 3
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "garbage" in bad[0]["_corrupt_record"]
+
+
+def test_stream_documents_feeds_neardup_index(spark, tmp_path):
+    """Connector + streaming near-dup compose: a JSONL drop directory
+    streams through the index and the planted clone is caught online."""
+    from hoard_spark.sources.documents import stream_documents
+    from hoard_spark.streaming.neardup import NearDupIndex
+
+    def words(seed):
+        return " ".join(f"{seed}w{i}" for i in range(60))
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "".join(_jsonl_doc(i, words(f"s{i}")) for i in range(1, 6))
+    )
+    index = NearDupIndex(spark, str(tmp_path / "nd"), threshold=0.7)
+    stream = lambda: stream_documents(spark, str(src), fmt="jsonl").select(
+        "doc_id", "text"
+    )
+    q = index.sink(stream(), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert index.matches().count() == 0
+
+    (src / "b.jsonl").write_text(_jsonl_doc(6, words("s2")))
+    q = index.sink(stream(), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r["new_id"], r["matched_id"]) for r in index.matches().collect()
+    }
+    assert got == {(6, 2)}

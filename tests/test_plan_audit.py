@@ -152,3 +152,32 @@ def test_unpivot_lowers_to_expand_single_scan(spark):
     plan = plan_of(REG["q55_unpivot"].spark_fn(spark, SF))
     assert "Expand" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_repetition_score_is_joinless(spark):
+    """q65 is explode + window + one aggregate — any Join in the plan
+    means the shape regressed to a self-join."""
+    plan = plan_of(REG["q65_repetition_score"].spark_fn(spark, SF))
+    assert "Join" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """q66's benchmark shingle set must broadcast (the corpus side
+    streams map-side); an all-pairs product would be a scale-killer."""
+    plan = plan_of(REG["q66_contamination"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_canonical_pick_no_cartesian(spark):
+    plan = plan_of(REG["q67_canonical_pick"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_prunes_and_broadcasts(spark):
+    """q68 reads only (doc_id, text) from documents, and its df/stats
+    dimension joins broadcast rather than shuffling the tf table."""
+    plan = plan_of(REG["q68_bm25_topk"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    read = plan.split("ReadSchema:")[-1]
+    assert "lang" not in read and "n_chars" not in read, plan
