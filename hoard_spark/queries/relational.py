@@ -1125,3 +1125,106 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q69/q70: weighted median, map functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q69_weighted_median",
+    "exact weighted median: l_extendedprice-weighted median of "
+    "l_quantity per return flag (cumulative-weight window)",
+    # Pre-aggregating weights per (flag, quantity) makes the cumulative
+    # order unique (quantity is the sort key), so the scan order never
+    # affects the answer; DECIMAL weight sums make the >= tot/2
+    # comparison exact in both engines.
+    """
+    WITH wq AS (
+        SELECT l_returnflag, l_quantity,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, l_quantity, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM wq
+    )
+    SELECT l_returnflag, MIN(l_quantity) AS wmedian_qty
+    FROM c WHERE cw >= tot / 2 GROUP BY 1 ORDER BY 1
+    """,
+    "relational surface: weighted quantiles (Spark has no built-in "
+    "weighted percentile — expressed as codegen windows, no UDAF)",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight pre-aggregation bounds the window input to one row per
+    (group, value) — the window then runs over the DISTINCT value
+    domain, not the raw rows, so a 100 TB fact table cumsums over at
+    most |groups|x|value domain| rows. All codegen; no UDAF needed."""
+    from pyspark.sql import Window
+
+    wq = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("w")
+        )
+    )
+    part = Window.partitionBy("l_returnflag")
+    c = wq.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(part.orderBy("l_quantity")).alias("cw"),
+        F.sum("w").over(part).alias("tot"),
+    )
+    return (
+        c.where(F.col("cw") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("wmedian_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q70_map_fns",
+    "map scalar functions: per-user event-type histogram as a MAP "
+    "column, scalars extracted (size/element_at/map_keys)",
+    # The oracle computes the same scalars relationally — hash-match is
+    # on results, not SQL text (MAP literals aren't portable).
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_click,
+           MIN(event_type) AS first_type
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "relational surface: map construction + lookup (map_from_entries, "
+    "element_at, map_keys — SURVEY §2B scalar-function family)",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a real MAP column (map_from_entries over a sorted entry
+    list — sorting makes the map's key order deterministic), then
+    extracts scalars from it. The map stays executor-side; nothing
+    collects. One aggregate to histogram, one to build the map."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    m = ev.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("n_click"),
+        F.array_min(F.map_keys("m")).alias("first_type"),
+    ).orderBy("user_id")
