@@ -771,6 +771,79 @@ class HoardEngine:
                     self.fs.rename(src, dst)
             self.fs.rmtree(tmp)
 
+    def drop(self, metric: str) -> None:
+        """Remove a metric end-to-end: point/rollup data, catalog entry,
+        seq state, materialized markers. Lifecycle admin the reference
+        delegates to the filesystem (delete the .hoard file); here it
+        must also be partition-layout-aware.
+
+        Unbucketed layout: O(tiers) directory deletes, no data rewrite —
+        the (tier, metric, date) scheme makes a metric a directory
+        family, so drop runs at metadata speed at any data size.
+        Bucketed layout: the swap granularity is the hash bucket, so the
+        metric's bucket is rewritten without its rows and swapped in
+        (the same ride-along-partition shape as compact(metric)); a
+        bucket left empty is deleted outright.
+        """
+        self.catalog.info(metric)  # raises HoardError on unknown metric
+        if not self.metric_buckets:
+            for root in (self.points_path, self.rollups_path):
+                if not self.fs.isdir(root):
+                    continue
+                for tier_dir in self.fs.listdir(root):
+                    if not tier_dir.startswith("tier="):
+                        continue
+                    p = os.path.join(root, tier_dir, f"metric={metric}")
+                    if self.fs.isdir(p):
+                        self.fs.rmtree(p)
+        else:
+            mb = self._mb_of(metric)
+            for root, reader in (
+                (self.points_path, self._read_points),
+                (self.rollups_path, self._read_rollups),
+            ):
+                if not self.fs.isdir(root):
+                    continue
+                keep = reader().where(
+                    (F.col("mb") == mb) & (F.col("metric") != metric)
+                )
+                tmp = root + "_dropping"
+                (
+                    keep.sortWithinPartitions("metric", "bucket_ts")
+                    .write.partitionBy(*self._part_cols)
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+                sub = f"mb={mb}"
+                for tier_dir in self.fs.listdir(root):
+                    if not tier_dir.startswith("tier="):
+                        continue
+                    dst = os.path.join(root, tier_dir, sub)
+                    src = os.path.join(tmp, tier_dir, sub)
+                    if self.fs.isdir(src):
+                        self.fs.rename(src, dst)
+                    elif self.fs.isdir(dst):
+                        # the bucket held only this metric
+                        self.fs.rmtree(dst)
+                if self.fs.isdir(tmp):
+                    self.fs.rmtree(tmp)
+        self.catalog.drop(metric)
+        if metric in self._seq:
+            del self._seq[metric]
+            tmp = self._seq_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._seq, f)
+            os.replace(tmp, self._seq_path)
+        stale = {
+            k for k in self._materialized if k.split(":", 1)[1] == metric
+        }
+        if stale:
+            self._materialized -= stale
+            mtmp = self._mat_path + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(sorted(self._materialized), f)
+            os.replace(mtmp, self._mat_path)
+
     def drop_expired(self, metric: str, now: int | None = None) -> list[str]:
         """Retention enforcement: delete (tier, metric, date) partitions whose
         whole day lies past the tier's retention — the ring buffer's eviction
