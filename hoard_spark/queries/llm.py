@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import dround, dsum10, load, query, track_cache
+from hoard_spark.queries import davg, dround, dsum10, load, query, track_cache
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -1788,4 +1788,77 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dround(dsum10(F.col("s"))).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
+    )
+
+
+@query(
+    "q71_bigram_lm_score",
+    "corpus bigram-LM fluency score: per-doc mean negative log "
+    "likelihood under corpus bigram counts (CCNet-style LM filtering)",
+    """
+    WITH toks AS (
+        SELECT doc_id, toks, len(toks) AS n
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, n), i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, n), i -> toks[i+1])) AS w2
+        FROM toks
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    ugc AS (SELECT w1, SUM(c2) AS c1 FROM bgc GROUP BY 1),
+    scored AS (
+        SELECT bg.doc_id,
+               ln(CAST(ugc.c1 AS DOUBLE) / bgc.c2) AS nll
+        FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(CAST(SUM(CAST(nll AS DECIMAL(25,10)))
+                AS DOUBLE) / COUNT(*) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "training-data pipeline: LM-based quality filtering (docs scored "
+    "by fluency under a corpus n-gram model; high-NLL docs are noise)",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram/unigram model tables are Zipf-compressed (one row per
+    DISTINCT bigram — vocabulary-sized, ≪ corpus) and pre-aggregated,
+    so the hot word's fan-in is bounded by the distinct-bigram table,
+    not token count; they broadcast here, and fall back to a shuffle
+    dimension join when a giant vocab outgrows the broadcast budget.
+    The doc-side bigram stream is the same posexplode + lead shape as
+    the shingle family — no arrays materialized, all codegen."""
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ugc = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nll = F.log(F.col("c1").cast("double") / F.col("c2"))
+    return (
+        bg.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(ugc), "w1")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            davg(F.col("nll")).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
     )
