@@ -87,8 +87,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif dtype == "timestamp_ntz":
+            # parquet timestamp[us] (no tz) reads as TIMESTAMP_NTZ, which
+            # unix_micros() & friends reject at analysis. The session tz is
+            # pinned UTC everywhere (session.py), so this cast is value-stable.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
