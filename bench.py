@@ -71,26 +71,49 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, q in sorted(registry.items()):
         if name in SKIP:
             continue
         t0 = time.time()
-        df = q.spark_fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        # drop DataFrames the query persisted internally: keeps every
-        # measurement self-contained and stops cached partitions piling up
-        # across the 40+-query session
-        release_caches()
-        spark.catalog.clearCache()
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        try:
+            df = q.spark_fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — one broken query must not
+            # cost the whole bench artifact; record and keep timing the rest
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {type(e).__name__}", file=sys.stderr)
+        finally:
+            # drop DataFrames the query persisted internally: keeps every
+            # measurement self-contained and stops cached partitions piling
+            # up across the 70+-query session
+            release_caches()
+            spark.catalog.clearCache()
 
-    ingest = _bench_ingest(spark)
-    wimport = _bench_whisper_import(spark)
+    def _safe(fn, *args):
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001
+            return {"error": f"{type(e).__name__}: {e}"[:500]}
+
+    ingest = _safe(_bench_ingest, spark)
+    wimport = _safe(_bench_whisper_import, spark)
     duck = _bench_duckdb(registry)
+
+    # Engine-vs-DuckDB ratios (>1 = engine slower), per query and suite-wide
+    # over the comparable set (both sides timed, oracle not interrupted).
+    ratios = {
+        n: round(timings[n] / duck[n], 2)
+        for n in timings
+        if duck.get(n, -1) > 0
+    }
+    eng_comp = sum(timings[n] for n in ratios)
+    duck_comp = sum(duck[n] for n in ratios)
 
     print(
         json.dumps(
@@ -99,7 +122,12 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "duckdb": duck,
+                "ratio": ratios,
+                "suite_ratio": (
+                    round(eng_comp / duck_comp, 2) if duck_comp else None
+                ),
                 "ingest": ingest,
                 "whisper_import": wimport,
                 "sf": sf_of(SF_DIR),
@@ -178,6 +206,10 @@ def _bench_duckdb(registry) -> dict[str, float]:
         except duckdb.InterruptException:
             out[name] = -1.0
             print(f"# duckdb {name}: interrupted at {cap}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — keep timing the rest
+            out[name] = -2.0
+            print(f"# duckdb {name}: ERROR {type(e).__name__}: {e}",
+                  file=sys.stderr)
         finally:
             timer.cancel()
             con.close()
@@ -196,12 +228,16 @@ def _bench_ingest(spark) -> dict:
     from pyspark.sql import functions as F
 
     from hoard_spark.engine import HoardEngine
+    from hoard_spark.queries import load
     from hoard_spark.streaming.ingest import ingest_microbatch
 
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # load() normalizes ts to TimestampType regardless of the physical
+    # layout (nanos-as-long or timestamp[us]/NTZ), so cast("long") is
+    # always epoch *seconds* here — not the layout-dependent raw value.
+    events = load(spark, SF_DIR, "events")
     pts = events.select(
         F.col("event_type").alias("metric"),
-        (F.col("ts").cast("long") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        F.col("ts").cast("long").alias("ts"),
         F.col("value").cast("double").alias("value"),
         F.col("event_id").cast("long").alias("seq"),
     )

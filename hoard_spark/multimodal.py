@@ -8,10 +8,12 @@ transform (decode, feature-extract, resize, frame-sample) runs as an
 Arrow-batched ``mapInPandas`` stage so the bytes never row-trip through
 pickled Python objects.
 
-Real codecs (Pillow / librosa / av) are NOT installed in this container,
-so the decode/resize steps are stubbed behind ``NotImplementedError`` with
-a deterministic fake stand-in — but the Spark-side plumbing (schema,
-partitioning, UDF signatures, batch shapes) is real and tested:
+Media libraries (Pillow / librosa / av) are NOT installed in this
+container, so the codecs here are pure-numpy implementations of simple
+container formats (PPM images, WAV/PCM audio — see ``decode_ppm`` /
+``decode_wav`` below): real decode/resize/feature math over real bytes,
+no third-party dependency. The Spark-side plumbing (schema, partitioning,
+UDF signatures, batch shapes) is likewise real and tested:
 
 - payloads are genuine BinaryType columns,
 - metadata is a typed struct (not JSON strings),
