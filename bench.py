@@ -39,6 +39,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # they would dominate wall-clock; the scale path (LSH/IVF) is benched.
 SKIP = set()
 
+# Declared conformance twins whose timing should be read with context —
+# surfaced verbatim in the JSON so the judgment lives in the artifact.
+NOTES = {
+    "q56_percentiles": (
+        "exact percentile() conformance twin (full per-group sort); "
+        "approx_percentile is the documented scale path, pinned within "
+        "1% by tests"
+    ),
+    "q51_dedup_clusters": (
+        "cold timing includes building + persisting the corpus cluster "
+        "table artifact that q67 then reuses"
+    ),
+}
+
 
 def sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
@@ -65,6 +79,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
+
+    # Cold artifact store: corpus-keyed materialized tables (near-dup
+    # clusters) are rebuilt inside the measured run, so timings are
+    # reproducible — q51 pays the build, q67 demonstrates the reuse.
+    import shutil
+
+    from hoard_spark.artifacts import artifacts_root
+
+    shutil.rmtree(artifacts_root(), ignore_errors=True)
 
     # JVM/codegen warm-up: touch every table once (cheap counts).
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
@@ -130,6 +153,7 @@ def main() -> None:
                 ),
                 "ingest": ingest,
                 "whisper_import": wimport,
+                "notes": NOTES,
                 "sf": sf_of(SF_DIR),
             }
         )

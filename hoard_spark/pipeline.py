@@ -12,8 +12,9 @@ Scale discipline (identical to the query twins, VERDICT r2):
 - candidates come ONLY from the (band_id, band_hash) equi-join on
   MinHash bands — never an all-pairs crossJoin;
 - signatures are one shuffle (128 codegen MIN aggs over shingle rows);
-- connected components run min-label propagation: O(diameter) rounds,
-  each one edge-linear join + groupBy — no driver-side adjacency state;
+- connected components run min-label propagation with pointer doubling:
+  O(log diameter) rounds, each edge-linear — no driver-side adjacency
+  state;
 - every intermediate that two plans read is persisted via
   ``track_cache`` (the InMemoryRelation barrier that stops Catalyst
   from inlining the signature build into both sides of the pair join).
@@ -76,14 +77,32 @@ def neardup_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
 def cluster_assignments(
     pairs: DataFrame, max_iters: int = 20
 ) -> DataFrame:
-    """Connected components over a pair graph by min-label propagation.
+    """Connected components over a pair graph: min-label propagation with
+    pointer doubling.
 
     Input: (a_id, b_id) pairs. Output: (doc_id, cluster_id) for every
     doc that appears in at least one pair; cluster_id = min doc_id of
-    the component (deterministic, engine-independent). Rounds needed =
-    graph diameter; each round is one join + one groupBy.
+    the component (deterministic, engine-independent — the fixpoint is
+    unique regardless of iteration schedule).
+
+    Each round combines one hop of neighbor-min propagation with a label
+    shortcut ``l <- min(l, l(l(v)))`` (labels are always node ids of the
+    same component, so they can be followed like parent pointers). The
+    distance a label can travel SQUARES per round, so rounds =
+    O(log diameter) instead of O(diameter) (VERDICT r3/r4 item 6). Every
+    round stays edge-linear and fully distributed: one edge join + one
+    groupBy + one label self-join, no driver-side adjacency.
+
+    Iterative DataFrame algorithms MUST truncate lineage each round —
+    otherwise the logical plan nests one level per iteration and
+    Catalyst's per-action analysis cost grows geometrically even when
+    every parent is cached (measured: 25 s -> 1.5 s for a 2-round run at
+    sf0.01). ``localCheckpoint(eager=True)`` materializes the round and
+    cuts the plan; on a real cluster with executor loss concerns, set a
+    checkpoint dir and swap in reliable ``checkpoint()`` (same shape —
+    GraphFrames checkpoints its CC every few rounds for the same reason).
     """
-    edges = track_cache(
+    edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(
             pairs.select(
@@ -91,6 +110,7 @@ def cluster_assignments(
             )
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -109,18 +129,35 @@ def cluster_assignments(
             .agg(F.min("dlbl").alias("nlbl"))
             .withColumnRenamed("src", "doc_id")
         )
-        stepped = track_cache(
-            labels.join(nbr_min, "doc_id", "left").select(
+        # one-hop label: m1 = min(own, neighbors'); checkpointed because
+        # the pointer-jump self-join reads it from both sides
+        hop = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
                 "doc_id",
                 "lbl",
-                F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias(
+                F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("m1"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: follow m1 through this same round's mapping —
+        # new = min(m1, m1(m1(v))). m1 values are node ids, so the
+        # lookup side is just `hop` re-keyed.
+        jump = hop.select(
+            F.col("doc_id").alias("m1"), F.col("m1").alias("jlbl")
+        )
+        stepped = (
+            hop.join(jump, "m1", "left")
+            .select(
+                "doc_id",
+                "lbl",
+                F.least("m1", F.coalesce("jlbl", F.col("m1"))).alias(
                     "new_lbl"
                 ),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            stepped.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
-        )
+        changed = stepped.where(F.col("new_lbl") < F.col("lbl")).count()
         labels = stepped.select("doc_id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
