@@ -85,3 +85,40 @@ def test_dedup_threshold_monotone(spark, docs):
     loose = neardup_pairs(docs, threshold=0.5).count()
     tight = neardup_pairs(docs, threshold=0.9).count()
     assert loose >= tight
+
+
+def test_cc_pointer_doubling_converges_on_deep_chain(spark):
+    """A 13-node path graph (diameter 12) must fully converge within
+    max_iters=6: pointer doubling reaches distance ~2^r per round, while
+    plain min-label propagation would need 12 rounds — this pins the
+    O(log diameter) behavior, not just the fixpoint."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id long, b_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_assignments(pairs, max_iters=6).collect()
+    }
+    assert got == {i: 0 for i in range(13)}, got
+
+
+def test_cluster_artifact_reused_not_rebuilt(spark, docs):
+    """Second consumer of the corpus cluster table must read the
+    persisted artifact, never re-run the build (q67's contract)."""
+    from hoard_spark.artifacts import get_or_build
+
+    name = "test_reuse_probe"
+    first = get_or_build(
+        spark,
+        SF_DIR,
+        name,
+        ("documents",),
+        lambda: cluster_assignments(neardup_pairs(docs)),
+    )
+    n1 = first.count()
+
+    def boom():
+        raise AssertionError("artifact was rebuilt instead of reused")
+
+    again = get_or_build(spark, SF_DIR, name, ("documents",), boom)
+    assert again.count() == n1 > 0

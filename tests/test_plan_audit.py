@@ -181,3 +181,17 @@ def test_bm25_prunes_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     read = plan.split("ReadSchema:")[-1]
     assert "lang" not in read and "n_chars" not in read, plan
+
+
+def test_ann_ivf_assignment_is_map_side(spark):
+    """q39's cell assignment must be a pure projection over the scan —
+    the corpus may be shuffled only once, for the final top-3 ranking
+    over probed candidates (plus its sort and the probe broadcast).
+    A per-vector Window or a centroid crossJoin would re-shuffle the
+    whole corpus at 100 TB."""
+    plan = plan_of(REG["q39_ann_ivf"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles <= 2, f"{n_shuffles} corpus shuffles:\n{plan}"
