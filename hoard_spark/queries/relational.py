@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import davg, dround, dsum, load, query
+from hoard_spark.queries import davg, dround, dsum, load, query, spread
 
 
 # --------------------------------------------------------------------------
@@ -1015,17 +1015,27 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile is a per-group sort — fine per-group at any scale
     when groups are bounded (3 flags); for high-cardinality groups switch
-    to approx_percentile (t-digest, map-side mergeable)."""
-    li = load(spark, sf_dir, "lineitem")
-    pct = lambda q: dround(F.expr(f"percentile(l_extendedprice, {q})"))
+    to approx_percentile (t-digest, map-side mergeable).
+
+    All four percentiles come from ONE ``percentile(col, array(...))``
+    aggregate (one value buffer + one sort per group, not four identical
+    ones) and the scan is ``spread`` so partial aggregation parallelizes
+    from a single-file input (4.2 s -> 1.7 s at sf0.1, same exact
+    values)."""
+    li = spread(load(spark, sf_dir, "lineitem"))
+    ps = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))"
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            pct(0.25).alias("p25"),
-            pct(0.5).alias("p50"),
-            pct(0.75).alias("p75"),
-            pct(0.9).alias("p90"),
+        .agg(F.count("*").alias("n"), ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            "n",
+            dround(F.col("ps")[0]).alias("p25"),
+            dround(F.col("ps")[1]).alias("p50"),
+            dround(F.col("ps")[2]).alias("p75"),
+            dround(F.col("ps")[3]).alias("p90"),
         )
         .orderBy("l_returnflag")
     )
