@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hoard_spark.queries import davg, dround, dsum, load, query, spread
+from hoard_spark.queries import (
+    davg,
+    dround,
+    dsum,
+    load,
+    query,
+    spread,
+    track_cache,
+)
 
 
 # --------------------------------------------------------------------------
@@ -513,14 +521,61 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SURVEY.md §2C Q24",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NTILE without the single-partition global window.
+
+    ``ntile().over(Window.orderBy(...))`` moves the ENTIRE table to one
+    partition (WindowExec warns; fatal at 100 TB). Instead: range-
+    partition on the (unique) order key, per-partition ``row_number``,
+    add broadcast cumulative partition offsets (a bounded
+    #partitions-row collect through the driver) to get the exact global
+    rank, then apply SQL NTILE's bucket arithmetic (first n%k buckets
+    get one extra row) as a plain expression. Same values, fully
+    parallel sort — the standard distributed global-ranking two-pass.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
+    k = 4
+    npart = spark.sparkContext.defaultParallelism
+    parts = (
         load(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(npart, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        # cache is CORRECTNESS-critical, not an optimization: the range
+        # partitioner samples boundaries per execution, so the counts
+        # action and the final action must see the same materialized
+        # partitioning or the offsets would describe different splits
+        .transform(track_cache)
+    )
+    cnts = {
+        r["_pid"]: r["cnt"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total, acc, offs = sum(cnts.values()), 0, {}
+    for pid in sorted(cnts):
+        offs[pid] = acc
+        acc += cnts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offs.items()], "_pid int, _off long"
         )
+    )
+    base, rem = divmod(total, k)
+    w = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    r = (F.col("_off") + F.row_number().over(w)).alias("r")
+    big = rem * (base + 1)  # rows living in the size-(base+1) buckets
+    quartile = (
+        F.when(F.col("r") <= F.lit(big), F.ceil(F.col("r") / F.lit(base + 1)))
+        .otherwise(
+            F.lit(rem)
+            + F.ceil((F.col("r") - F.lit(big)) / F.lit(max(base, 1)))
+        )
+        .cast("long")
+    )
+    return (
+        parts.join(off_df, "_pid")
+        .select("o_orderkey", r)
+        .select("o_orderkey", quartile.alias("quartile"))
         .orderBy("o_orderkey")
     )
 
