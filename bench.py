@@ -51,6 +51,11 @@ NOTES = {
         "cold timing includes building + persisting the corpus cluster "
         "table artifact that q67 then reuses"
     ),
+    "q24_ntile": (
+        "distributed two-pass exact NTILE (range partition + offset "
+        "arithmetic); pays one extra small job locally to avoid the "
+        "single-partition global window that cannot scale"
+    ),
 }
 
 

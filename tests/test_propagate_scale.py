@@ -38,9 +38,12 @@ def test_microbatch_jobs_independent_of_metric_count(spark, tmp_path):
 
     small, large = jobs_for(2), jobs_for(N_METRICS)
     # The per-metric regime scales linearly (>= n_metrics * tiers write
-    # jobs); the contract is a flat O(tiers) count whatever the batch's
-    # metric cardinality. Allow a tiny fixed margin for AQE job splits.
-    assert large <= small + 2, (
+    # jobs, i.e. +30 jobs here); the contract is a flat O(tiers) count
+    # whatever the batch's metric cardinality. The margin absorbs AQE
+    # re-optimization occasionally adding a job or two per run (job
+    # counts are not fully deterministic under AQE) while staying far
+    # below the linear regime's footprint.
+    assert large <= small + 5, (
         f"{large} Spark jobs for {N_METRICS} metrics vs {small} for 2 — "
         "propagate job count grows with metric count"
     )
