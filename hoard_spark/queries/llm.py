@@ -1891,3 +1891,90 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q72_span_dedup",
+    "exact repeated-span (8-gram) cross-document duplication stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)
+    ),
+    gc AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY g),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM spans s JOIN gc c USING (g)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(ROUND(CAST(n_shared * 1.0 / n_spans AS DECIMAL(25,10)), 4)
+                AS DOUBLE) AS share_ratio
+    FROM per_doc ORDER BY doc_id
+    """,
+    "training-data pipeline: exact substring-level dedup stats (the "
+    "Lee et al. 2022 'Deduplicating Training Data' / CCNet shape — "
+    "cross-document repeated 8-gram spans mark boilerplate and "
+    "copy-paste contamination)",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span statistics: how many of a doc's 8-gram
+    token spans also occur in at least one OTHER document.
+
+    Shape (the exact-substring-dedup standard at scale): posexplode +
+    window ``lead`` streams spans without materializing arrays (the
+    shingle-family plan); the span table groups by the gram string with
+    map-side partial aggregation — the one unavoidable shuffle of an
+    exact dedup; the per-doc recount joins spans back to the
+    vocabulary-sized gram-frequency table. Span occurrences duplicated
+    WITHIN one doc only (nd = 1) are not counted as shared — the signal
+    is cross-document contamination, not self-repetition (q65 covers
+    that)."""
+    from pyspark.sql import Window
+
+    toks = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 8)]
+    tail = F.lead("tok", 7).over(w)
+    spans = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("g"),
+            tail.alias("_t"),
+        )
+        .where(F.col("_t").isNotNull())
+        .select("doc_id", "g")
+    )
+    spans = track_cache(spans)
+    gc = spans.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        spans.join(gc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            dround(F.col("n_shared") / F.col("n_spans")).alias(
+                "share_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
