@@ -248,29 +248,13 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-data pipeline: similarity search baseline (VERDICT r1)",
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Thin wrapper over the library surface (hoard_spark/ann.py) — the
+    conformance twin relationship pipeline.py has to q35/q51/q67."""
+    from hoard_spark.ann import queries_from, search_exact
 
     n = _emb_norm(spark, sf_dir).select("vec_id", "v", "nrm")
-    q = n.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("q_v"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    dot = F.expr(_DOT.format(a="q_v", b="v"))
-    scored = (
-        n.crossJoin(F.broadcast(q))
-        .where(F.col("q_id") != F.col("vec_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 3).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= 3)
-        .orderBy("q_id", "rn")
+    return search_exact(n, queries_from(n, range(10)), k=3).orderBy(
+        "q_id", "rn"
     )
 
 
@@ -641,78 +625,24 @@ def q39(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     Pinned at recall@3 >= 0.95 vs the exact q38 baseline at sf0.01; on
     uniform random vectors (the hardest case for ANN — no cluster
     structure to exploit) pruning is bounded by nprobe/k, while real
-    clustered embeddings prune far harder at the same recall."""
-    from pyspark.sql import Window
+    clustered embeddings prune far harder at the same recall.
+
+    Thin wrapper over the library surface (hoard_spark/ann.py). NOTE on
+    the sims expression there: zip_with+aggregate over literal arrays
+    measured fastest — unrolling the 8x64 dot products into element_at
+    arithmetic overflows the JIT method limit and falls back to
+    interpreted evaluation (3x slower, measured)."""
+    from hoard_spark.ann import assign_cells, queries_from, search_ivf
 
     n = _emb_norm(spark, sf_dir).select("vec_id", "v", "nrm")
     cents = _kmeans_centroids(n)  # [(c_id, unit vector)] — 8 x 64 doubles
-
-    def sims_col() -> Column:
-        # sims[c_id] = cos(v, centroid): centroids are unit vectors, so
-        # only /nrm is needed. zip_with+aggregate over literal arrays
-        # measured fastest here — unrolling the 8x64 dot products into
-        # element_at arithmetic overflows the JIT method limit and falls
-        # back to interpreted evaluation (3x slower, measured).
-        dots = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(x) for x in c_v]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.col("nrm")
-            for _, c_v in cents
-        ]
-        return F.array(*dots)
-
-    # argmax via array_position (first occurrence) => lowest c_id wins
-    # ties, matching the previous window tiebreak (sim desc, c_id asc)
-    assigned = (
-        n.withColumn("sims", sims_col())
-        .withColumn(
-            "cell",
-            (F.expr("array_position(sims, array_max(sims))") - 1).cast("int"),
-        )
-        .select("vec_id", "v", "nrm", "cell")
-    )
-    # per query: the nprobe nearest centroid cells — 10 rows, same
-    # literal-centroid sims array, sorted in-expression (sim desc,
-    # c_id asc via struct(-s, i)) and sliced; explode yields one
-    # (q_id, cell) probe pair per probed cell
-    probes = (
-        n.where(F.col("vec_id") < 10)
-        .withColumn("sims", sims_col())
-        .withColumn(
-            "pc",
-            F.expr(
-                "slice(array_sort(transform(sims, "
-                f"(s, i) -> struct(-s AS ns, i AS c_id))), 1, {int(nprobe)})"
-            ),
-        )
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("q_v"),
-            F.col("nrm").alias("q_nrm"),
-            F.explode("pc.c_id").alias("cell"),
-        )
-    )
-    dot_qn = F.expr(_DOT.format(a="q_v", b="v"))
-    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
-    return (
-        assigned.join(F.broadcast(probes), "cell", "inner")
-        .where(F.col("q_id") != F.col("vec_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(dot_qn / (F.col("q_nrm") * F.col("nrm")), 3).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("rn") <= 3)
-        .orderBy("q_id", "rn")
-    )
+    return search_ivf(
+        assign_cells(n, cents),
+        cents,
+        queries_from(n, range(10)),
+        k=3,
+        nprobe=nprobe,
+    ).orderBy("q_id", "rn")
 
 
 # ---------------------------------------------------------------------------
