@@ -1908,3 +1908,86 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q73_pack_contexts",
+    "training-context packing estimate: concat-and-chunk docs into "
+    "512-token contexts per lang",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), ' +')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_toks,
+           CAST((MAX(cum) + 511) // 512 AS BIGINT) AS n_contexts,
+           CAST(SUM(CASE WHEN (cum - n_tok) // 512 != (cum - 1) // 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+           CAST(ROUND(CAST(SUM(n_tok) * 1.0 /
+                (((MAX(cum) + 511) // 512) * 512) AS DECIMAL(25,10)), 4)
+                AS DOUBLE) AS fill_ratio
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    "training-data pipeline: batch/context packing planner (GPT-style "
+    "concat-and-chunk — how many fixed-size contexts a corpus fills, "
+    "how many docs straddle a boundary, and the fill ratio)",
+)
+def q73(spark: SparkSession, sf_dir: str, context: int = 512) -> DataFrame:
+    """Concat-and-chunk packing statistics per language.
+
+    Packing order is part of the contract (doc_id within lang), so the
+    running token total is a per-lang window cumsum — one shuffle keyed
+    on lang, then a linear pass; the recurrence-free formulation (doc's
+    context = its ending token's chunk) is what makes this expressible
+    as a window instead of a sequential fold. Straddle count flags docs
+    split across a context boundary; fill_ratio is corpus tokens over
+    context capacity. At 100 TB the lang partition count bounds
+    parallelism — for a single giant lang, sub-shard the packing key
+    (e.g. (lang, shard) with per-shard offsets) exactly like the q24
+    two-pass global ranking."""
+    from pyspark.sql import Window
+
+    cap = int(context)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    straddle = (
+        F.expr(f"(cum - n_tok) DIV {cap}") != F.expr(f"(cum - 1) DIV {cap}")
+    ).cast("long")
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_toks"),
+            F.expr(f"(MAX(cum) + {cap - 1}) DIV {cap}").alias("n_contexts"),
+            F.sum(straddle).alias("n_straddle"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_toks",
+            "n_contexts",
+            "n_straddle",
+            dround(
+                F.col("total_toks") / (F.col("n_contexts") * F.lit(cap))
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
