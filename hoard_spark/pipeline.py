@@ -167,7 +167,9 @@ def cluster_assignments(
 
 
 def dedup_corpus(
-    docs: DataFrame, threshold: float = 0.7
+    docs: DataFrame,
+    threshold: float = 0.7,
+    clusters: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One-call near-dup dedup: returns ``(kept, dropped)``.
 
@@ -176,13 +178,19 @@ def dedup_corpus(
     doc_id — keep the most complete copy). ``dropped`` is the audit
     trail: (doc_id, cluster_id, canonical_doc) for each removed doc.
 
+    Pass ``clusters`` (a (doc_id, cluster_id) table, e.g. one
+    materialized per corpus version via ``hoard_spark.artifacts``) to
+    skip recomputing the LSH→CC pipeline — the persisted-cluster-table
+    composition q67 uses.
+
     The drop set is cluster-members-only (≪ corpus), so the final
     filter is a broadcast-able left_anti join — the corpus streams
     through it map-side at any scale.
     """
     from pyspark.sql import Window
 
-    clusters = cluster_assignments(neardup_pairs(docs, threshold))
+    if clusters is None:
+        clusters = cluster_assignments(neardup_pairs(docs, threshold))
     ntok = docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), " +")).alias("n_tok"),

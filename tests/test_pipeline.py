@@ -122,3 +122,15 @@ def test_cluster_artifact_reused_not_rebuilt(spark, docs):
 
     again = get_or_build(spark, SF_DIR, name, ("documents",), boom)
     assert again.count() == n1 > 0
+
+
+def test_dedup_corpus_accepts_prebuilt_cluster_table(spark, docs):
+    """Passing a materialized cluster table must give identical results
+    to the inline computation (the q67 persisted-artifact composition)."""
+    pre = cluster_assignments(neardup_pairs(docs))
+    kept_a, dropped_a = dedup_corpus(docs)
+    kept_b, dropped_b = dedup_corpus(docs, clusters=pre)
+    assert kept_a.count() == kept_b.count()
+    da = {(r["doc_id"], r["canonical_doc"]) for r in dropped_a.collect()}
+    db = {(r["doc_id"], r["canonical_doc"]) for r in dropped_b.collect()}
+    assert da == db
