@@ -43,6 +43,7 @@ FLAGSHIP = "q01_bucket_lww"
 _PRIORITY = [
     "q72_span_dedup",  # new in r5 — never driver-checked
     "q73_pack_contexts",  # new in r5 — never driver-checked
+    "q74_quality_blend",  # new in r5 — never driver-checked
     "q42_token_count_bpe", "q43_doc_fingerprint", "q44_mm_metadata",
     "q45_mm_features", "q46_frame_sample", "q47_embedding_neardup",
     "q49_decode_resize", "q51_dedup_clusters", "q52_hash_sample",

@@ -1991,3 +1991,100 @@ def q73(spark: SparkSession, sf_dir: str, context: int = 512) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q74_quality_blend",
+    "multi-signal quality blend: within-lang percentile-normalized "
+    "length/diversity/stopword signals, top-5 docs per lang",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tok,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+               len(list_filter(toks, x -> x IN ({_STOPWORDS})))
+                   * 1.0 / len(toks) AS stop_ratio
+        FROM t WHERE len(toks) > 0
+    ),
+    pr AS (
+        SELECT doc_id, lang,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY n_tok, doc_id) AS p1,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY uniq_ratio, doc_id) AS p2,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY stop_ratio, doc_id) AS p3
+        FROM sig
+    ),
+    blend AS (
+        SELECT doc_id, lang,
+               CAST(ROUND(CAST((p1 + p2 + p3) / 3.0 AS DECIMAL(25,10)), 4)
+                    AS DOUBLE) AS q,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY (p1 + p2 + p3) DESC, doc_id)
+                   AS rk
+        FROM pr
+    )
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, q
+    FROM blend WHERE rk <= 5 ORDER BY lang, rk
+    """,
+    "training-data pipeline: FineWeb-style multi-signal quality "
+    "filtering — raw heuristics are percentile-normalized so they blend "
+    "on a common scale, then ranked per language",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three cheap heuristics (token count, distinct-token ratio,
+    stopword ratio) percentile-normalized WITHIN language — partitioned
+    windows, never a global single-partition window (the q24 lesson);
+    lang cardinality bounds the partition count, and a skewed giant
+    lang sub-shards like q24's two-pass ranking. Percent ranks are
+    exact rationals, so the cross-engine hash match is stable; the
+    doc_id tiebreak makes every rank unique and deterministic."""
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim("text"), " +").alias("toks")
+    )
+    sig = toks.where(F.size("toks") > 0).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tok"),
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks")
+        ).alias("uniq_ratio"),
+        (
+            F.size(
+                F.expr(f"filter(toks, x -> x IN ({_STOPWORDS}))")
+            ).cast("double")
+            / F.size("toks")
+        ).alias("stop_ratio"),
+    )
+    def pr(col: str) -> Column:
+        return F.percent_rank().over(
+            Window.partitionBy("lang").orderBy(col, "doc_id")
+        )
+
+    ranked = sig.select(
+        "doc_id",
+        "lang",
+        pr("n_tok").alias("p1"),
+        pr("uniq_ratio").alias("p2"),
+        pr("stop_ratio").alias("p3"),
+    )
+    s = F.col("p1") + F.col("p2") + F.col("p3")
+    w_rk = Window.partitionBy("lang").orderBy(s.desc(), "doc_id")
+    return (
+        ranked.select(
+            "lang",
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            "doc_id",
+            dround(s / F.lit(3.0)).alias("q"),
+        )
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
