@@ -134,3 +134,60 @@ def test_dedup_corpus_accepts_prebuilt_cluster_table(spark, docs):
     da = {(r["doc_id"], r["canonical_doc"]) for r in dropped_a.collect()}
     db = {(r["doc_id"], r["canonical_doc"]) for r in dropped_b.collect()}
     assert da == db
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """cluster_assignments vs a pure-Python union-find on seeded random
+    pair graphs — pins the fixpoint on shapes the corpus doesn't have
+    (cycles, stars, disjoint chains, self-contained cliques)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 60, 45
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_edges)
+            }
+        )
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        touched = {x for ab in pairs for x in ab}
+        want = {
+            x: min(y for y in touched if find(y) == find(x))
+            for x in touched
+        }
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in cluster_assignments(
+                spark.createDataFrame(pairs, "a_id long, b_id long")
+            ).collect()
+        }
+        assert got == want, f"seed {seed}: CC disagrees with union-find"
+
+
+def test_artifact_invalidated_when_corpus_changes(spark, tmp_path):
+    """Rewriting an input table must change the corpus fingerprint, so
+    a stale artifact is never served for regenerated testdata."""
+    from hoard_spark.artifacts import corpus_fingerprint
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    key1 = corpus_fingerprint(str(sf), ("documents",))
+    import time as _t
+
+    _t.sleep(0.01)  # ensure mtime_ns advances across the rewrite
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    key2 = corpus_fingerprint(str(sf), ("documents",))
+    assert key1 != key2
