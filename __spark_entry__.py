@@ -5,9 +5,10 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-All queries live in ``hoard_spark.queries.REGISTRY`` (timeseries Q1-Q5,
-relational Q6-Q30, LLM-pipeline Q31-Q43, multimodal Q44-Q46, embedding
-near-dup Q47); this module is a thin adapter.
+All queries live in ``hoard_spark.queries.REGISTRY`` (SURVEY.md §2C
+Q1-Q74: timeseries core, relational/window/set/scalar surface, the
+LLM-training-data pipeline family, multimodal codecs); this module is a
+thin adapter that also controls driver-gate ordering (see _PRIORITY).
 """
 
 from __future__ import annotations
