@@ -1,0 +1,168 @@
+"""Scale-stress evidence: the heavy curation family at N× the bench corpus.
+
+The sf0.1 bench (bench.py) proves per-query wall-clock; this tool proves
+the *scaling shape*. It replicates the sf0.1 `documents` corpus MULT
+times (doc_ids offset per replica, text unchanged — exact replicas are
+the hardest dedup case: every cross-replica pair is a true near-dup, so
+candidate generation, verification and connected components all carry
+MULT× the pair load) and the `events` table MULT times (event_ids
+offset, timestamps jittered within the hour so LWW still has work), then
+times:
+
+  - `pipeline.neardup_pairs` → `cluster_assignments` → `dedup_corpus`
+    (the q35 → q51 → q67 composition over the big corpus), and
+  - the q01/q02 LWW-bucket + xff-gated rollup shapes over the big
+    event stream,
+
+and reports per-input-row throughput next to the sf0.1 baseline from the
+same session, so sub-linear blowups (a quadratic join, a
+diameter-bound loop) show up as a ratio ≫ MULT. At 100 TB nobody reruns
+sf0.1 twice; this is the local stand-in for the 10× scale-up question
+the plans are designed around (SURVEY.md §4).
+
+Usage: python tools/stress_scale.py [mult] [sf_dir]
+Writes one JSON line to stdout and tools/stress_scale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DOC_OFFSET = 10**9  # > any testdata doc_id; replica i adds i*DOC_OFFSET
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hoard_spark import pipeline
+    from hoard_spark.queries import load, release_caches
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("hoard-spark-stress")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"mult": MULT, "sf": SF_DIR}
+
+    # ---- corpus: 1x baseline then MULTx, same plans ----------------------
+    docs1 = load(spark, SF_DIR, "documents")
+    # materialize the replicated corpus once so the three pipeline stages
+    # time compute, not re-reading the union MULT times
+    replicas = [docs1] + [
+        docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * DOC_OFFSET))
+        for i in range(1, MULT)
+    ]
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+    big = big.localCheckpoint(eager=True)
+
+    for label, corpus in (("base", docs1), ("big", big)):
+        n_docs = corpus.count()
+        t0 = time.time()
+        pairs = pipeline.neardup_pairs(corpus).localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        t_pairs = time.time() - t0
+
+        t0 = time.time()
+        clusters = pipeline.cluster_assignments(pairs).localCheckpoint(
+            eager=True
+        )
+        n_clustered = clusters.count()
+        t_cc = time.time() - t0
+
+        t0 = time.time()
+        kept, dropped = pipeline.dedup_corpus(corpus, clusters=clusters)
+        n_kept = kept.count()
+        t_dedup = time.time() - t0
+        release_caches()
+        spark.catalog.clearCache()
+
+        out[label] = {
+            "docs": n_docs,
+            "pairs": n_pairs,
+            "clustered_docs": n_clustered,
+            "kept": n_kept,
+            "pairs_sec": round(t_pairs, 2),
+            "cc_sec": round(t_cc, 2),
+            "dedup_sec": round(t_dedup, 2),
+        }
+
+    # ---- events: LWW bucket + xff rollup at 1x and MULTx -----------------
+    ev1 = load(spark, SF_DIR, "events").select("event_id", "ts", "value",
+                                               "event_type")
+    parts = [ev1] + [
+        ev1.withColumn("event_id", F.col("event_id") + F.lit(i * DOC_OFFSET))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 7} SECONDS"))
+        for i in range(1, MULT)
+    ]
+    bigev = parts[0]
+    for p in parts[1:]:
+        bigev = bigev.unionByName(p)
+    bigev = bigev.localCheckpoint(eager=True)
+
+    for label, ev in (("base_events", ev1), ("big_events", bigev)):
+        n_ev = ev.count()
+        t0 = time.time()
+        t0buckets = ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(F.max_by("value", "event_id").alias("v"))
+        rolled = (
+            t0buckets.groupBy(
+                "event_type", F.date_trunc("day", "bucket").alias("day")
+            )
+            .agg(F.avg("v").alias("cf"), F.count("*").alias("known"))
+            .where(F.col("known") >= 12)
+        )
+        _noop(rolled)
+        dt = time.time() - t0
+        out[label] = {
+            "rows": n_ev,
+            "lww_rollup_sec": round(dt, 2),
+            "rows_per_sec": round(n_ev / dt),
+        }
+
+    # ---- scaling verdict -------------------------------------------------
+    def ratio(big_s: float, base_s: float) -> float:
+        return round(big_s / base_s, 2) if base_s > 0 else -1.0
+
+    out["scaling"] = {
+        # wall-clock growth for MULTx input; linear plans stay <= ~MULT
+        # (sub-MULT is common locally: fixed job overhead amortizes)
+        "pairs_x": ratio(out["big"]["pairs_sec"], out["base"]["pairs_sec"]),
+        "cc_x": ratio(out["big"]["cc_sec"], out["base"]["cc_sec"]),
+        "dedup_x": ratio(out["big"]["dedup_sec"], out["base"]["dedup_sec"]),
+        "events_x": ratio(
+            out["big_events"]["lww_rollup_sec"],
+            out["base_events"]["lww_rollup_sec"],
+        ),
+    }
+
+    line = json.dumps(out)
+    print(line)
+    (REPO / "tools" / "stress_scale.json").write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
