@@ -1293,3 +1293,99 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_click"),
         F.array_min(F.map_keys("m")).alias("first_type"),
     ).orderBy("user_id")
+
+
+@query(
+    "q75_scalar_subquery",
+    "correlated scalar subquery: orders priced above their customer's "
+    "average order price",
+    # DECIMAL-exact comparison (price*n > sum instead of price > avg):
+    # avg would be one inexact division per group whose last bit could
+    # differ with summation order; the cross-multiplied form is exact in
+    # both engines, so the boundary rows are deterministic.
+    """
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 4) AS price
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+          (SELECT COUNT(*) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o.o_orderkey
+    """,
+    "relational surface: correlated scalar subqueries (SURVEY §2B query "
+    "language). Catalyst decorrelates the SQL form into a join + "
+    "aggregate; the DataFrame twin uses one partitioned window instead — "
+    "a single scan of the fact table, the plan the decorrelation would "
+    "have to rediscover",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window form of the correlated scalar subquery: per-customer count
+    and DECIMAL sum via one ``Window.partitionBy``, filter by the exact
+    cross-multiplied predicate. One shuffle on o_custkey, no self-join,
+    no division."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("p").over(w))
+        .where(F.col("p") * F.col("n") > F.col("s"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q76_value_windows",
+    "value window functions: first_value / last_value / nth_value over "
+    "an unbounded frame",
+    # No arithmetic — the values pass through untouched, so the
+    # cross-engine hash is stable without rounding gymnastics.
+    """
+    SELECT event_type, event_id,
+           ROUND(FIRST_VALUE(value) OVER w, 4) AS first_v,
+           ROUND(LAST_VALUE(value) OVER w, 4) AS last_v,
+           ROUND(NTH_VALUE(value, 3) OVER w, 4) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+    ORDER BY event_type, event_id
+    """,
+    "relational surface: value window family (first/last/nth_value with "
+    "explicit frames — completes SURVEY §2B window coverage beyond "
+    "ranking/offset/frame aggregates of Q21-Q24)",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-partition frame makes first/last/nth deterministic
+    (orderBy event_id is a total order within the frame); one window
+    spec shared by all three expressions, one shuffle on event_type."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.first("value").over(w), 4).alias("first_v"),
+            F.round(F.last("value").over(w), 4).alias("last_v"),
+            F.round(F.nth_value("value", 3).over(w), 4).alias("third_v"),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -195,3 +195,22 @@ def test_ann_ivf_assignment_is_map_side(spark):
         "Exchange rangepartitioning"
     )
     assert n_shuffles <= 2, f"{n_shuffles} corpus shuffles:\n{plan}"
+
+
+def test_scalar_subquery_is_single_scan_no_join(spark):
+    """q75's window form must answer the correlated-subquery semantics
+    with ONE scan of orders and ONE shuffle on o_custkey — no self-join
+    (the shape Catalyst's decorrelation would produce: join + agg +
+    second scan, doubling the 100 TB fact read)."""
+    plan = plan_of(REG["q75_scalar_subquery"].spark_fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_value_windows_share_one_window(spark):
+    """q76's three value functions share one window spec: exactly one
+    Window operator, one shuffle on event_type."""
+    plan = plan_of(REG["q76_value_windows"].spark_fn(spark, SF))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
