@@ -143,6 +143,60 @@ def main() -> None:
             "rows_per_sec": round(n_ev / dt),
         }
 
+    # ---- ANN: exact vs IVF at 1x and MULTx -------------------------------
+    from hoard_spark.ann import (
+        assign_cells,
+        normalized,
+        queries_from,
+        search_exact,
+        search_ivf,
+        train_centroids,
+    )
+
+    emb1 = load(spark, SF_DIR, "embeddings")
+    eparts = [emb1] + [
+        emb1.withColumn("vec_id", F.col("vec_id") + F.lit(i * DOC_OFFSET))
+        for i in range(1, MULT)
+    ]
+    bige = eparts[0]
+    for p in eparts[1:]:
+        bige = bige.unionByName(p)
+    bige = bige.localCheckpoint(eager=True)
+
+    for label, emb in (("base_ann", emb1), ("big_ann", bige)):
+        n_vec = emb.count()
+        n = normalized(emb)
+        qs = queries_from(n, range(10)).localCheckpoint(eager=True)
+
+        t0 = time.time()
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in search_exact(n, qs).collect()
+        }
+        t_exact = time.time() - t0
+
+        t0 = time.time()
+        cents = train_centroids(n)
+        assigned = assign_cells(n, cents).localCheckpoint(eager=True)
+        t_build = time.time() - t0
+
+        t0 = time.time()
+        ivf = {
+            (r["q_id"], r["n_id"])
+            for r in search_ivf(assigned, cents, qs).collect()
+        }
+        t_ivf = time.time() - t0
+        release_caches()
+        spark.catalog.clearCache()
+
+        out[label] = {
+            "vectors": n_vec,
+            "exact_sec": round(t_exact, 2),
+            "ivf_build_sec": round(t_build, 2),
+            "ivf_search_sec": round(t_ivf, 2),
+            "recall_at_3": round(len(ivf & exact) / len(exact), 3),
+        }
+
     # ---- scaling verdict -------------------------------------------------
     def ratio(big_s: float, base_s: float) -> float:
         return round(big_s / base_s, 2) if base_s > 0 else -1.0
@@ -156,6 +210,13 @@ def main() -> None:
         "events_x": ratio(
             out["big_events"]["lww_rollup_sec"],
             out["base_events"]["lww_rollup_sec"],
+        ),
+        "ann_exact_x": ratio(
+            out["big_ann"]["exact_sec"], out["base_ann"]["exact_sec"]
+        ),
+        "ann_ivf_x": ratio(
+            out["big_ann"]["ivf_search_sec"],
+            out["base_ann"]["ivf_search_sec"],
         ),
     }
 
