@@ -86,6 +86,10 @@ def main():
     results = {}
     failures = []
     out = REPO / "tools" / "correctness_local.json"
+    if ONLY and out.exists():
+        # partial runs refresh only the named queries — keep the rest of
+        # the artifact instead of clobbering the full-gate evidence
+        results = json.loads(out.read_text())
 
     def flush():
         out.write_text(json.dumps(results, indent=1, default=str))
