@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All queries live in ``hoard_spark.queries.REGISTRY`` (SURVEY.md §2C
-Q1-Q76: timeseries core, relational/window/set/scalar surface, the
+Q1-Q78: timeseries core, relational/window/set/scalar surface, the
 LLM-training-data pipeline family, multimodal codecs); this module is a
 thin adapter that also controls driver-gate ordering (see _PRIORITY).
 """
@@ -42,6 +42,8 @@ FLAGSHIP = "q01_bucket_lww"
 # then the two un-broken in r5, then the long-stable remainder (q01...) in
 # name order.
 _PRIORITY = [
+    "q77_funnel",  # new in r5 — never driver-checked
+    "q78_cohort_retention",  # new in r5 — never driver-checked
     "q75_scalar_subquery",  # new in r5 — never driver-checked
     "q76_value_windows",  # new in r5 — never driver-checked
     "q72_span_dedup",  # new in r5 — never driver-checked

@@ -1389,3 +1389,120 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "q77_funnel",
+    "ordered funnel: users who viewed, then clicked after the first "
+    "view, then purchased after that click",
+    # The sequential "after" constraint is the funnel contract: a click
+    # BEFORE the user's first view doesn't advance the funnel. Strict >
+    # makes ts-tie behavior explicit and identical in both engines.
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    "relational surface: event funnel analysis (staged min-after-min "
+    "aggregates — the product-analytics workload class over `events`)",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every stage aggregates and joins on user_id, so one hash
+    partitioning is reused across the whole funnel (AQE reuses the
+    exchange); each stage's input is pre-filtered to its event type
+    before the join — the corpus never shuffles unfiltered. The three
+    final counts are 1-row aggregates; their crossJoins broadcast."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@query(
+    "q78_cohort_retention",
+    "weekly cohort retention: distinct active users per (first-activity "
+    "week, week offset)",
+    # Both engines truncate 'week' to Monday 00:00; offsets are exact
+    # multiples of 7 days (UTC, no DST), so day-diff/7 is integral.
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_trunc('week', e.ts) AS DATE) AS w
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, w) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "relational surface: cohort retention analysis (the second classic "
+    "product-analytics shape; Spark `datediff` vs DuckDB `date_diff` is "
+    "a declared dialect divergence — hash-match is on results)",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-activity aggregate + fact join share the user_id
+    partitioning; the distinct collapses to (user, week) BEFORE the
+    cohort count, so the final aggregate reads |users|x|weeks| rows,
+    not raw events."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    act = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.to_date(F.date_trunc("week", "ts")).alias("w"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            "cohort",
+            F.expr("CAST(datediff(w, cohort) / 7 AS INT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )
