@@ -882,20 +882,13 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries-pipeline op: as-of join (DuckDB native ASOF as the oracle)",
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join via the union-marker window — the 100 TB shape.
-
-    Instead of a range join (quadratic per user without interval
-    indexing), tag views kind=0 and clicks kind=1, union, and run ONE
-    window per user ordered by (us, kind): ``last(value, ignorenulls)``
-    over the unbounded-preceding frame carries each view forward to every
-    later click. One shuffle + one sort, no join operator at all; a
-    same-microsecond view sorts before the click (kind order), matching
-    ASOF's ``>=`` bound. Views are pre-deduped to one per (user, us) by
-    highest event_id so ties are engine-independent. Skewed users put one
-    user's history in one task — for pathological keys, split the window
-    by time range and carry boundary state (documented, not needed here).
+    """Thin wrapper over the library operator (hoard_spark/asof.py) —
+    the union-marker window: one shuffle + one sort, no join operator.
+    A same-microsecond view matches its click (ASOF's ``>=`` bound);
+    views are pre-deduped to one per (user, us) by highest event_id so
+    ties are engine-independent. Scale notes live on ``asof_backward``.
     """
-    from pyspark.sql import Window
+    from hoard_spark.asof import ASOF_ORDER, asof_backward
 
     ev = load(spark, sf_dir, "events").select(
         "event_id",
@@ -912,44 +905,17 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "us"
     )
-    u = views.select(
+    j = asof_backward(
+        clicks, views, keys=["user_id"], order="us", carry=["v_value"]
+    )
+    return j.select(
+        "event_id",
         "user_id",
-        "us",
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("event_id"),
-        "v_value",
-    ).unionByName(
-        clicks.select(
-            "user_id",
-            "us",
-            F.lit(1).alias("kind"),
-            "event_id",
-            F.lit(None).cast("double").alias("v_value"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "kind")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    asof_v = F.last("v_value", ignorenulls=True).over(w)
-    asof_us = F.last(
-        F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True
-    ).over(w)
-    return (
-        u.withColumn("asof_value", asof_v)
-        .withColumn("asof_us", asof_us)
-        .where(F.col("kind") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "asof_value",
-            dround(
-                (F.col("us") - F.col("asof_us")) / F.lit(1_000_000.0)
-            ).alias("gap_s"),
-        )
-        .orderBy("event_id")
-    )
+        F.col("v_value").alias("asof_value"),
+        dround(
+            (F.col("us") - F.col(ASOF_ORDER)) / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    ).orderBy("event_id")
 
 
 # --------------------------------------------------------------------------
