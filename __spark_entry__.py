@@ -38,25 +38,20 @@ FLAGSHIP = "q01_bucket_lww"
 
 # The driver's correctness gate covers the first 50 registry entries per
 # round. Emit least-recently-driver-verified queries first so every query
-# accumulates a driver-green row across rounds: the 21 with no r3/r4 row,
-# then the two un-broken in r5, then the long-stable remainder (q01...) in
-# name order.
+# accumulates a driver-green row across rounds. Round-6 rotation (VERDICT
+# r5 item 1): the 28 queries whose newest driver row is r4 (q21–q35, q37,
+# q38, q40, q41, q54–q58, q69, q70, + engine-only q36/q39 for their
+# rows-only check) go first; the remaining 22 slots fill from the r5-green
+# set in name order.
 _PRIORITY = [
-    "q77_funnel",  # new in r5 — never driver-checked
-    "q78_cohort_retention",  # new in r5 — never driver-checked
-    "q75_scalar_subquery",  # new in r5 — never driver-checked
-    "q76_value_windows",  # new in r5 — never driver-checked
-    "q72_span_dedup",  # new in r5 — never driver-checked
-    "q73_pack_contexts",  # new in r5 — never driver-checked
-    "q74_quality_blend",  # new in r5 — never driver-checked
-    "q42_token_count_bpe", "q43_doc_fingerprint", "q44_mm_metadata",
-    "q45_mm_features", "q46_frame_sample", "q47_embedding_neardup",
-    "q49_decode_resize", "q51_dedup_clusters", "q52_hash_sample",
-    "q53_text_clean", "q59_array_fns", "q60_pii_redact",
-    "q61_stratified_sample", "q62_embedding_quantize", "q63_chunking",
-    "q64_tfidf_top_term", "q65_repetition_score", "q66_contamination",
-    "q67_canonical_pick", "q68_bm25_topk", "q71_bigram_lm_score",
-    "q48_sessionize", "q50_asof_join",
+    "q21_ranking_windows", "q22_lag_delta", "q23_moving_avg", "q24_ntile",
+    "q25_topk", "q26_set_ops", "q27_string_fns", "q28_date_fns",
+    "q29_math_fns", "q30_conditional", "q31_exact_dedup", "q32_token_stats",
+    "q33_json_extract", "q34_cosine_topk", "q35_minhash_neardup",
+    "q36_simhash_neardup", "q37_ngram_jaccard_topk", "q38_knn_exact",
+    "q39_ann_ivf", "q40_lang_id", "q41_quality_score",
+    "q54_pivot", "q55_unpivot", "q56_percentiles", "q57_range_join",
+    "q58_salted_agg", "q69_weighted_median", "q70_map_fns",
 ]
 
 
