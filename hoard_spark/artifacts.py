@@ -8,26 +8,36 @@ the LSH → connected-components pipeline; at 100 TB this is exactly the
 warehouse pattern (materialize the cluster table once per corpus version,
 join against it everywhere).
 
-The fingerprint keys on the absolute input paths plus their
-(mtime_ns, size), so a regenerated corpus at the same path invalidates
-the artifact automatically. Artifacts are deterministic by construction
-(every producer here has engine-independent output), so reuse across
+The fingerprint keys on the input paths plus their (mtime, size), so a
+regenerated corpus at the same path invalidates the artifact
+automatically. Artifacts are deterministic by construction (every
+producer here has engine-independent output), so reuse across
 sessions/rounds is value-safe.
 
+All path operations go through the Hadoop ``FileSystem`` API
+(:class:`hoard_spark.fsutil.WarehouseFS`), so the artifact root and the
+corpus may live on any Hadoop-supported store (``file://``, HDFS, S3A,
+GCS) — the same rule the engine's own data plane follows. Driver-side
+``os.*`` calls would silently only work on local disk.
+
 Root: ``$HOARD_SPARK_ARTIFACTS`` (default ``<tmp>/hoard_spark_artifacts``).
-Writes go to a pid-suffixed staging dir and are renamed into place, so a
-concurrent builder never exposes a half-written table.
+Writes go to a pid-suffixed staging dir and are swapped into place via
+the crash-safe FS rename in ``WarehouseFS.rename``, so a concurrent
+builder never exposes a half-written table and a previously half-written
+``path`` (no ``_SUCCESS``) is replaced rather than wedging the cache.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
-import shutil
+import posixpath
 import tempfile
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hoard_spark.fsutil import WarehouseFS
 
 
 def artifacts_root() -> str:
@@ -37,19 +47,46 @@ def artifacts_root() -> str:
     )
 
 
-def corpus_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:
-    """Stable key for (corpus dir, input tables): path + mtime_ns + size
-    per table. Works for both single-file and directory-style parquet
-    (a Spark re-write touches the directory mtime)."""
+def _join(base: str, *parts: str) -> str:
+    """URI-safe path join: ``os.path.join`` would mangle ``s3a://`` style
+    roots on Windows and is local-FS-thinking anyway."""
+    return posixpath.join(base.rstrip("/"), *parts)
+
+
+def corpus_fingerprint(
+    sf_dir: str, tables: Iterable[str], spark: SparkSession | None = None
+) -> str:
+    """Stable key for (corpus dir, input tables): path + mtime + size per
+    table. Works for both single-file and directory-style parquet (a
+    Spark re-write touches the directory mtime and its child summary).
+
+    With a session the stat goes through the Hadoop FS API, so the
+    corpus may live on any supported store; without one (driver-local
+    convenience paths only) it falls back to ``os.stat``.
+    """
+    fs = WarehouseFS(spark) if spark is not None else None
     h = hashlib.md5()
-    h.update(os.path.abspath(sf_dir).encode())
+    key_dir = sf_dir if "://" in sf_dir else os.path.abspath(sf_dir)
+    h.update(key_dir.encode())
     for t in sorted(tables):
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        try:
-            st = os.stat(p)
-            h.update(f"|{t}:{st.st_mtime_ns}:{st.st_size}".encode())
-        except OSError:
-            h.update(f"|{t}:absent".encode())
+        p = _join(key_dir, f"{t}.parquet")
+        if fs is not None:
+            st = fs.status(p)
+            if st is None:
+                h.update(f"|{t}:absent".encode())
+                continue
+            mtime_ms, length = st
+            if length == 0 and fs.isdir(p):
+                n, total = fs.child_summary(p)
+                h.update(f"|{t}:{mtime_ms}:dir{n}:{total}".encode())
+            else:
+                h.update(f"|{t}:{mtime_ms}:{length}".encode())
+        else:
+            try:
+                st = os.stat(p)
+                h.update(f"|{t}:{st.st_mtime_ns}:{st.st_size}".encode())
+            except OSError:
+                h.update(f"|{t}:absent".encode())
     return h.hexdigest()[:16]
 
 
@@ -63,12 +100,17 @@ def get_or_build(
     """Return the materialized table ``name`` for this corpus, building
     (and persisting) it on first use. The returned DataFrame is a parquet
     scan — cheap to re-read, prunable, and shared across queries."""
-    path = os.path.join(artifacts_root(), corpus_fingerprint(sf_dir, tables), name)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fs = WarehouseFS(spark)
+    path = _join(
+        artifacts_root(), corpus_fingerprint(sf_dir, tables, spark), name
+    )
+    if not fs.exists(_join(path, "_SUCCESS")):
         staging = f"{path}.stage{os.getpid()}"
         build().write.mode("overwrite").parquet(staging)
-        try:
-            os.rename(staging, path)
-        except OSError:  # concurrent builder won the rename — use theirs
-            shutil.rmtree(staging, ignore_errors=True)
+        if fs.exists(_join(path, "_SUCCESS")):
+            # concurrent builder published first — deterministic content,
+            # use theirs and drop ours
+            fs.rmtree(staging)
+        else:
+            fs.rename(staging, path)
     return spark.read.parquet(path)

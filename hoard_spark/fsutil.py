@@ -30,6 +30,35 @@ class WarehouseFS:
     def _fs(self, p: str):
         return self._path(p).getFileSystem(self._conf)
 
+    def exists(self, p: str) -> bool:
+        return self._fs(p).exists(self._path(p))
+
+    def status(self, p: str) -> tuple[int, int] | None:
+        """(modification_time_ms, length) for a path, or None if absent.
+
+        For directories Hadoop reports length 0 and a mtime that moves on
+        child create/delete — callers that fingerprint a directory-style
+        parquet table should combine this with ``child_summary``.
+        """
+        fs = self._fs(p)
+        hp = self._path(p)
+        if not fs.exists(hp):
+            return None
+        st = fs.getFileStatus(hp)
+        return int(st.getModificationTime()), int(st.getLen())
+
+    def child_summary(self, p: str) -> tuple[int, int]:
+        """(file_count, total_length) over the direct children of a
+        directory — one listStatus RPC, no recursion. Gives the
+        fingerprint a content signal where a bare dir stat has none."""
+        fs = self._fs(p)
+        hp = self._path(p)
+        total = n = 0
+        for st in fs.listStatus(hp):
+            n += 1
+            total += int(st.getLen())
+        return n, total
+
     def isdir(self, p: str) -> bool:
         fs = self._fs(p)
         hp = self._path(p)

@@ -175,6 +175,58 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         assert got == want, f"seed {seed}: CC disagrees with union-find"
 
 
+def test_get_or_build_through_uri_root(spark, tmp_path, monkeypatch):
+    """The artifact cache must work against a Hadoop-FS URI root (here
+    ``file://`` — same API surface as HDFS/S3A): build once, publish via
+    FS rename, serve the parquet scan on reuse without rebuilding."""
+    from hoard_spark.artifacts import get_or_build
+
+    monkeypatch.setenv(
+        "HOARD_SPARK_ARTIFACTS", f"file://{tmp_path}/artifacts"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).withColumnRenamed("id", "doc_id")
+
+    first = get_or_build(spark, str(sf), "probe", ("documents",), build)
+    assert first.count() == 3 and calls == [1]
+
+    def boom():
+        raise AssertionError("artifact rebuilt instead of reused")
+
+    again = get_or_build(spark, str(sf), "probe", ("documents",), boom)
+    assert again.count() == 3
+
+
+def test_fingerprint_uri_invalidated_on_rewrite(spark, tmp_path):
+    """WarehouseFS-backed fingerprint must change when a directory-style
+    parquet table is rewritten (mtime is ms-resolution through Hadoop, so
+    the child summary carries the content signal too)."""
+    import time as _t
+
+    from hoard_spark.artifacts import corpus_fingerprint
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    key1 = corpus_fingerprint(str(sf), ("documents",), spark)
+    _t.sleep(0.05)
+    df.union(df).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    key2 = corpus_fingerprint(str(sf), ("documents",), spark)
+    assert key1 != key2
+
+
 def test_artifact_invalidated_when_corpus_changes(spark, tmp_path):
     """Rewriting an input table must change the corpus fingerprint, so
     a stale artifact is never served for regenerated testdata."""
