@@ -8,11 +8,23 @@ to q38/q39.
 The 100 TB shape (VERDICT r2): an as-of join expressed as a range join
 is quadratic per key without interval indexing. Instead, tag reference
 rows kind=0 and probe rows kind=1, union, and run ONE window per key
-ordered by ``(order, kind)``: ``last(col, ignorenulls)`` over the
-unbounded-preceding frame carries each reference row forward to every
-later probe row. One shuffle + one sort, **no join operator at all**.
-A probe and reference row at the same order value match (ASOF's ``>=``
-bound) because kind sorts the reference row first.
+ordered by ``(order, kind)``: the latest reference row's carry columns —
+packed into a single struct that is non-null for every reference row, so
+NULL carry *values* propagate faithfully — flow forward to every later
+probe row via ``last(struct, ignorenulls)`` over the unbounded-preceding
+frame. One shuffle + one sort, **no join operator at all**. A probe and
+reference row at the same order value match (ASOF's ``>=`` bound)
+because kind sorts the reference row first.
+
+Skew: one key's whole history sorts in one task under the single
+window. ``skew_buckets > 0`` switches to the split plan: rows are
+range-bucketed on ``order`` (boundaries from one ``approx_percentile``
+job, inlined as literals), the same window runs per ``(keys, bucket)``
+— so a hot key spreads over ``skew_buckets`` tasks — and a second,
+boundary-sized window over the per-bucket last-reference table computes
+each bucket's carry-in, joined back on ``(keys, bucket)``. Two extra
+narrow stages over a keys×buckets-sized table buy per-key
+parallelism; below the threshold the single window is strictly cheaper.
 
 No reference analog (the reference is a single-metric time-series
 store, src/hoard.coffee); this generalizes its "latest value at or
@@ -22,10 +34,73 @@ src/hoard.coffee:426-513) to arbitrary keyed event streams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ASOF_ORDER = "asof_order"
+_KIND = "_kind"
+_CARRY = "_asof_carry"
+_BUCKET = "_asof_bucket"
+_ORD_FIELD = "__asof_ord"
+
+
+def _validate(probe: DataFrame, reference: DataFrame, carry: list[str]):
+    overlap = set(carry) & set(probe.columns)
+    if overlap:
+        raise ValueError(f"carry columns collide with probe columns: {overlap}")
+    reserved = {_KIND, _CARRY, _BUCKET, ASOF_ORDER}
+    for side, df in (("probe", probe), ("reference", reference)):
+        hit = reserved & set(df.columns)
+        if hit:
+            raise ValueError(
+                f"{side} columns collide with reserved as-of names: {hit}"
+            )
+
+
+def _tagged_union(
+    probe: DataFrame,
+    reference: DataFrame,
+    keys: list[str],
+    order: str,
+    carry: list[str],
+) -> tuple[DataFrame, list[str]]:
+    """Union of both sides with ``_kind`` (0=reference, 1=probe) and the
+    reference's carry columns + order packed into the ``_asof_carry``
+    struct — non-null for every reference row, null for probe rows, so
+    ``last(ignorenulls)`` tracks reference ROWS, not non-null values."""
+    probe_extra = [c for c in probe.columns if c not in (*keys, order)]
+    ref_dtypes = dict(reference.dtypes)
+    ref_side = reference.select(
+        *keys,
+        F.col(order).alias(order),
+        F.lit(0).alias(_KIND),
+        *[
+            F.lit(None).cast(dict(probe.dtypes)[c]).alias(c)
+            for c in probe_extra
+        ],
+        F.struct(
+            *[F.col(c).alias(c) for c in carry],
+            F.col(order).alias(_ORD_FIELD),
+        ).alias(_CARRY),
+    )
+    carry_type = ref_side.schema[_CARRY].dataType.simpleString()
+    probe_side = probe.select(
+        *keys,
+        F.col(order).alias(order),
+        F.lit(1).alias(_KIND),
+        *probe_extra,
+        F.lit(None).cast(carry_type).alias(_CARRY),
+    )
+    return ref_side.unionByName(probe_side), probe_extra
+
+
+def _unpack(out: DataFrame, carry: list[str], struct_col: str) -> DataFrame:
+    sel = [c for c in out.columns if c not in (struct_col, _KIND, _BUCKET)]
+    return out.where(F.col(_KIND) == 1).select(
+        *sel,
+        *[F.col(struct_col)[c].alias(c) for c in carry],
+        F.col(struct_col)[_ORD_FIELD].alias(ASOF_ORDER),
+    )
 
 
 def asof_backward(
@@ -34,6 +109,7 @@ def asof_backward(
     keys: list[str],
     order: str,
     carry: list[str],
+    skew_buckets: int = 0,
 ) -> DataFrame:
     """For each probe row, attach the ``carry`` columns of the LATEST
     reference row with ``reference.order <= probe.order``, per ``keys``.
@@ -43,55 +119,94 @@ def asof_backward(
       ties upstream (e.g. ``max_by`` on a unique id) so the match is
       deterministic;
     - probe columns other than keys/order ride through unchanged;
-    - output adds ``carry`` (null when no reference row precedes) and
-      ``asof_order`` (the matched reference row's order value, null
-      likewise).
+    - output adds ``carry`` (null when no reference row precedes — a
+      reference row whose carry VALUE is null still matches and yields
+      null, with ``asof_order`` reporting that row's order) and
+      ``asof_order`` (the matched reference row's order value, null only
+      when no reference row precedes);
+    - ``order`` must be numeric or timestamp when ``skew_buckets > 0``
+      (range bucketing quantiles it).
 
-    Skew note: one key's whole history sorts in one task. For a
-    pathological key, split the window by coarse order-range, carry
-    boundary state between splits (same trick as q48's sessionization
-    at scale) — not needed at tested scales.
+    ``skew_buckets``: 0 (default) runs the single window per key — right
+    whenever every key's history fits one task. N>0 splits each key's
+    window across up to N order-range buckets (see module docstring) —
+    use for pathological keys (a bot user_id with 10⁸ events).
     """
-    overlap = set(carry) & set(probe.columns)
-    if overlap:
-        raise ValueError(f"carry columns collide with probe columns: {overlap}")
-    from pyspark.sql import Window
-
-    probe_extra = [c for c in probe.columns if c not in (*keys, order)]
-    ref_side = reference.select(
-        *keys,
-        F.col(order).alias(order),
-        F.lit(0).alias("_kind"),
-        *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(c) for c in probe_extra],
-        *carry,
-    )
-    probe_side = probe.select(
-        *keys,
-        F.col(order).alias(order),
-        F.lit(1).alias("_kind"),
-        *probe_extra,
-        *[
-            F.lit(None).cast(dict(reference.dtypes)[c]).alias(c)
-            for c in carry
-        ],
-    )
-    u = ref_side.unionByName(probe_side)
+    _validate(probe, reference, carry)
+    u, _ = _tagged_union(probe, reference, keys, order, carry)
+    if skew_buckets > 1:
+        return _asof_skew_split(u, keys, order, carry, skew_buckets)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(order, "_kind")
+        .orderBy(order, _KIND)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # every window expression in ONE projection → Catalyst plans a single
-    # Window operator (separate withColumns would stack one per call)
-    passthrough = [c for c in u.columns if c not in carry and c != "_kind"]
+    # one projection → Catalyst plans a single Window operator
+    passthrough = [c for c in u.columns if c != _CARRY]
     out = u.select(
         *passthrough,
-        F.col("_kind"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
-        F.last(
-            F.when(F.col("_kind") == 0, F.col(order)), ignorenulls=True
-        )
-        .over(w)
-        .alias(ASOF_ORDER),
+        F.last(_CARRY, ignorenulls=True).over(w).alias(_CARRY),
     )
-    return out.where(F.col("_kind") == 1).drop("_kind")
+    return _unpack(out, carry, _CARRY)
+
+
+def _asof_skew_split(
+    u: DataFrame, keys: list[str], order: str, carry: list[str], buckets: int
+) -> DataFrame:
+    # Bucket boundaries: one small aggregate job; inlined as literals so
+    # assignment is a map-side codegen projection on the scan (the ann.py
+    # centroid-hoisting pattern). Approximate quantiles only affect
+    # balance, never correctness.
+    qs = [i / buckets for i in range(1, buckets)]
+    row = u.select(
+        F.percentile_approx(F.col(order).cast("double"), qs).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or []))
+    bucket_expr = F.lit(0)
+    for b in bounds:
+        bucket_expr = bucket_expr + F.when(
+            F.col(order).cast("double") > F.lit(b), 1
+        ).otherwise(0)
+    ub = u.withColumn(_BUCKET, bucket_expr)
+
+    # Stage 1: in-bucket window — identical semantics to the single
+    # window, but the hot key now spreads across the buckets it spans.
+    w_in = (
+        Window.partitionBy(*keys, _BUCKET)
+        .orderBy(order, _KIND)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = ub.select(
+        *[c for c in ub.columns if c != _CARRY],
+        F.last(_CARRY, ignorenulls=True).over(w_in).alias("_in_bucket"),
+    )
+
+    # Stage 2: per (keys, bucket) the LAST reference struct — a
+    # keys×buckets-sized table — then each bucket's carry-in is the
+    # latest boundary struct from any strictly earlier bucket.
+    boundary = ub.where(F.col(_KIND) == 0).groupBy(*keys, _BUCKET).agg(
+        F.max_by(_CARRY, F.col(order)).alias("_last_ref")
+    )
+    # every (keys, bucket) that exists on EITHER side needs a carry-in
+    # row — a probe-only bucket still inherits from earlier buckets
+    occupied = ub.groupBy(*keys, _BUCKET).agg(F.lit(1).alias("_one")).drop(
+        "_one"
+    )
+    boundary = occupied.join(boundary, on=[*keys, _BUCKET], how="left")
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = boundary.select(
+        *keys,
+        F.col(_BUCKET),
+        F.last("_last_ref", ignorenulls=True).over(w_carry).alias("_carry_in"),
+    )
+
+    out = staged.join(carry_in, on=[*keys, _BUCKET], how="left").withColumn(
+        _CARRY, F.coalesce("_in_bucket", "_carry_in")
+    )
+    return _unpack(
+        out.drop("_in_bucket", "_carry_in"), carry, _CARRY
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from hoard_spark.asof import ASOF_ORDER, asof_backward
 
@@ -11,7 +12,9 @@ _refs = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),  # key
         st.integers(min_value=0, max_value=50),  # order
-        st.integers(min_value=-100, max_value=100),  # value
+        st.one_of(  # null carry VALUES must ride through faithfully
+            st.none(), st.integers(min_value=-100, max_value=100)
+        ),
     ),
     min_size=0,
     max_size=40,
@@ -32,13 +35,19 @@ _probes = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(refs=_refs, probes=_probes)
-def test_asof_backward_matches_model(spark, refs, probes):
+@given(
+    refs=_refs,
+    probes=_probes,
+    skew_buckets=st.sampled_from([0, 4]),
+)
+def test_asof_backward_matches_model(spark, refs, probes, skew_buckets):
     """Each probe row gets the latest reference row with order <= its
-    own (per key), including the simultaneous case, null when none
-    precedes — checked exactly against brute force."""
+    own (per key), including the simultaneous case; a matching row with
+    a NULL carry value yields (null value, that row's order); null/null
+    only when none precedes — checked exactly against brute force, for
+    both the single-window and the skew-split plan."""
     ref_df = spark.createDataFrame(
-        [(k, o, float(v)) for k, o, v in refs],
+        [(k, o, None if v is None else float(v)) for k, o, v in refs],
         "k long, o long, val double",
     )
     probe_df = spark.createDataFrame(
@@ -48,15 +57,20 @@ def test_asof_backward_matches_model(spark, refs, probes):
     got = {
         r["pid"]: (r["val"], r[ASOF_ORDER])
         for r in asof_backward(
-            probe_df, ref_df, keys=["k"], order="o", carry=["val"]
+            probe_df,
+            ref_df,
+            keys=["k"],
+            order="o",
+            carry=["val"],
+            skew_buckets=skew_buckets,
         ).collect()
     }
     expected = {}
     for i, (k, o) in enumerate(probes):
         cands = [(ro, rv) for rk, ro, rv in refs if rk == k and ro <= o]
         if cands:
-            mo, mv = max(cands)
-            expected[i] = (float(mv), mo)
+            mo, mv = max(cands)  # unique per (k, o): max on order alone
+            expected[i] = (None if mv is None else float(mv), mo)
         else:
             expected[i] = (None, None)
     assert got == expected
@@ -80,3 +94,95 @@ def test_asof_carry_collision_raises(spark):
     )
     with pytest.raises(ValueError):
         asof_backward(probe_df, ref_df, keys=["k"], order="o", carry=["val"])
+
+
+def test_asof_reserved_names_raise(spark):
+    """Input columns named after the operator's internals (`_kind`,
+    `asof_order`, ...) must be rejected, not silently shadowed."""
+    import pytest
+
+    ref_df = spark.createDataFrame([(1, 1, 1.0)], "k long, o long, val double")
+    for bad in ("_kind", "asof_order", "_asof_carry", "_asof_bucket"):
+        probe_bad = spark.createDataFrame(
+            [(1, 1, 7)], f"k long, o long, `{bad}` long"
+        )
+        with pytest.raises(ValueError):
+            asof_backward(
+                probe_bad, ref_df, keys=["k"], order="o", carry=["val"]
+            )
+        ref_bad = spark.createDataFrame(
+            [(1, 1, 1.0, 7)], f"k long, o long, val double, `{bad}` long"
+        )
+        with pytest.raises(ValueError):
+            asof_backward(
+                spark.createDataFrame([(1, 1)], "k long, o long"),
+                ref_bad,
+                keys=["k"],
+                order="o",
+                carry=["val"],
+            )
+
+
+def test_asof_null_carry_value_matches_latest_row(spark):
+    """The ADVICE r5 pin: a matching reference row whose carry VALUE is
+    NULL must win (null value + its order), not be skipped in favour of
+    an older non-null row."""
+    ref_df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "k long, o long, val double"
+    )
+    probe_df = spark.createDataFrame([(0, 1, 25)], "pid long, k long, o long")
+    for buckets in (0, 4):
+        row = asof_backward(
+            probe_df,
+            ref_df,
+            keys=["k"],
+            order="o",
+            carry=["val"],
+            skew_buckets=buckets,
+        ).first()
+        assert row["val"] is None and row[ASOF_ORDER] == 20, (buckets, row)
+
+
+def test_asof_skew_split_hot_key(spark):
+    """One hot key with 100k+ rows: the skew-split plan must agree with
+    the single window exactly, and its stage-1 window must partition by
+    (key, bucket) — i.e. the hot key genuinely spreads over >1 task."""
+    n_ref, n_probe = 60_000, 60_000
+    ref_df = (
+        spark.range(n_ref)
+        .select(
+            F.lit(1).alias("k"),
+            (F.col("id") * 2).alias("o"),
+            F.when(F.col("id") % 97 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("val"),
+        )
+    )
+    probe_df = spark.range(n_probe).select(
+        F.col("id").alias("pid"),
+        F.lit(1).alias("k"),
+        (F.col("id") * 2 + 1).alias("o"),
+    )
+    split = asof_backward(
+        probe_df, ref_df, keys=["k"], order="o", carry=["val"],
+        skew_buckets=16,
+    )
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "_asof_bucket" in plan.split("Window")[1], plan[:2000]
+
+    base = asof_backward(
+        probe_df, ref_df, keys=["k"], order="o", carry=["val"]
+    )
+    diff = (
+        split.select("pid", "val", ASOF_ORDER)
+        .exceptAll(base.select("pid", "val", ASOF_ORDER))
+        .count()
+    )
+    assert diff == 0
+    assert split.count() == n_probe
+
+    # the hot key must span >1 bucket in the split plan's stage 1
+    from hoard_spark.asof import _tagged_union
+
+    u, _ = _tagged_union(probe_df, ref_df, ["k"], "o", ["val"])
+    assert u.count() == n_ref + n_probe
