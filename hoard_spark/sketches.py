@@ -66,3 +66,170 @@ def estimate(sketch_table: DataFrame) -> DataFrame:
     return sketch_table.withColumn(
         "approx_distinct", F.hll_sketch_estimate("sketch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (equi-depth histogram)
+#
+# Spark exposes no mergeable percentile binary the way it exposes HLL
+# (``percentile_approx`` accumulates internal t-digest-ish state but cannot
+# persist/merge it), so q56's declared scale path re-read raw events for
+# every slice. The portable warehouse answer is a *fixed-grid equi-depth
+# histogram*: one global boundary grid (computed once per corpus with a
+# single ``percentile_approx`` job, inlined as literals — the ann.py
+# centroid-hoisting pattern), then per (key, grain) an array of bin counts.
+# Count arrays merge losslessly by element-wise sum, so any coarser slice
+# is a tiny sum over pre-built arrays — never a raw-data shuffle — and a
+# quantile estimate is CDF inversion with linear interpolation inside the
+# hit bin. Rank error ≤ 1 bin = 1/bins of the mass (boundary-exact mass
+# lands whole bins, so in practice far lower on continuous data).
+#
+# Everything below is built-in JVM expressions (filter/aggregate/zip_with
+# higher-order functions over literal arrays): no UDFs, map-side partial
+# aggregation on build and merge.
+# ---------------------------------------------------------------------------
+
+DEFAULT_BINS = 128  # rank error <= 1/128 ≈ 0.8% of the mass
+
+
+def quantile_boundaries(
+    df: DataFrame, col: str, bins: int = DEFAULT_BINS
+) -> list[float]:
+    """Interior bin boundaries (bins-1 global equi-depth edges) — ONE
+    small aggregate job; reuse the result for every sketch table built
+    over the same corpus so their grids (and hence merges) line up."""
+    qs = [i / bins for i in range(1, bins)]
+    row = df.select(
+        F.percentile_approx(F.col(col).cast("double"), qs).alias("b")
+    ).first()
+    return sorted(set(row["b"] or []))
+
+
+def quantile_sketch_table(
+    df: DataFrame,
+    keys: list[str | Column],
+    col: str,
+    bins: int = DEFAULT_BINS,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Build the pre-aggregated histogram table: one count array per key
+    group. Output: ``keys..., counts (array<long>), rows, vmin, vmax,
+    boundaries (array<double>, the shared grid — constant, dictionary-
+    encodes to nothing on parquet)``.
+
+    Persist at the finest grain you will query (e.g. (metric, day));
+    coarser grains come from ``merge_quantile`` without touching raw
+    data. Pass ``boundaries`` explicitly when appending new partitions
+    to an existing sketch table — grids must match for merges.
+    """
+    if boundaries is None:
+        boundaries = quantile_boundaries(df, col, bins)
+    b_arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    v = F.col(col).cast("double")
+    # bin index = #(interior boundaries < v): 0..len(boundaries); values
+    # outside the grid clamp into the first/last bin by construction
+    bin_idx = F.size(F.filter(b_arr, lambda b: b < v))
+    n_bins = len(boundaries) + 1
+    # two-level aggregation so map-side partial combine works at both
+    # steps: (keys, bin) counts are tiny partials; the second groupBy
+    # assembles ≤ n_bins entries per key into the dense array
+    binned = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bin_idx.alias("_bin"))
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(v).alias("_vmin"),
+            F.max(v).alias("_vmax"),
+        )
+    )
+    return (
+        binned.groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_bin"), F.col("_cnt")))
+            ).alias("_m"),
+            F.sum("_cnt").alias("rows"),
+            F.min("_vmin").alias("vmin"),
+            F.max("_vmax").alias("vmax"),
+        )
+        .withColumn(
+            "counts",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at("_m", i), F.lit(0).cast("long")
+                ),
+            ),
+        )
+        .withColumn(
+            "boundaries", F.array(*[F.lit(float(b)) for b in boundaries])
+        )
+        .drop("_m")
+    )
+
+
+def merge_quantile(
+    sketch_table: DataFrame, keys: list[str | Column]
+) -> DataFrame:
+    """Re-aggregate a histogram table to a coarser grain: element-wise
+    sum of count arrays (lossless for a shared grid), min/max of the
+    range ends. Reads only the sketch table, never raw events. The
+    collect_list per group is bounded by the grain ratio (e.g. ≤366
+    daily arrays per year) — sketch-sized, not data-sized."""
+    return sketch_table.groupBy(*keys).agg(
+        F.aggregate(
+            F.collect_list("counts"),
+            # zero of the fold: a zeroed array of the grid's width
+            F.transform(F.first("counts"), lambda _: F.lit(0).cast("long")),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("counts"),
+        F.sum("rows").alias("rows"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.first("boundaries").alias("boundaries"),
+    )
+
+
+def quantile_estimate(
+    sketch_table: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Append ``approx_quantiles`` (array<double>, one per q in ``qs``)
+    to a histogram table: invert the cumulative counts and interpolate
+    linearly inside the hit bin, with the group's own vmin/vmax as the
+    outer edges."""
+    # cumulative counts: O(bins²) array building, JVM-side, bins≈128
+    cum = F.aggregate(
+        F.col("counts"),
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long")) + x),
+        ),
+    )
+    out = sketch_table.withColumn("_cum", cum)
+
+    def one_q(q: float) -> Column:
+        target = F.lit(float(q)) * F.col("rows").cast("double")
+        # first bin whose cumulative count reaches the target (monotone)
+        idx = F.size(
+            F.filter(F.col("_cum"), lambda c: c.cast("double") < target)
+        ) + F.lit(1)
+        lo_cum = F.coalesce(
+            F.try_element_at(F.col("_cum"), idx - 1), F.lit(0).cast("long")
+        ).cast("double")
+        cnt = F.try_element_at(F.col("counts"), idx).cast("double")
+        # bin edges: [vmin, b_1 .. b_{n-1}, vmax]
+        lo = F.when(idx == 1, F.col("vmin")).otherwise(
+            F.try_element_at("boundaries", idx - 1)
+        )
+        hi = F.when(
+            idx == F.size("counts"), F.col("vmax")
+        ).otherwise(F.try_element_at("boundaries", idx))
+        frac = F.when(cnt > 0, (target - lo_cum) / cnt).otherwise(F.lit(0.0))
+        return F.least(
+            F.greatest(lo + (hi - lo) * frac, F.col("vmin")), F.col("vmax")
+        )
+
+    return out.withColumn(
+        "approx_quantiles", F.array(*[one_q(q) for q in qs])
+    ).drop("_cum")

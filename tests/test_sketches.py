@@ -67,3 +67,99 @@ def test_rows_accounting(spark, events):
         F.sum("rows").alias("n")
     ).collect()[0]["n"]
     assert total == events.count()
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketches (mergeable equi-depth histograms)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def value_events(spark):
+    from hoard_spark.queries import load
+
+    return load(spark, SF, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+
+
+def test_quantile_merge_equals_direct(spark, value_events):
+    """Summing daily count arrays == one-shot histogram on the same
+    grid, exactly — the losslessness the pre-aggregated table needs."""
+    from hoard_spark.sketches import (
+        merge_quantile,
+        quantile_boundaries,
+        quantile_sketch_table,
+    )
+
+    bounds = quantile_boundaries(value_events, "value", 64)
+    daily = quantile_sketch_table(
+        value_events, ["event_type", "day"], "value", boundaries=bounds
+    )
+    merged = {
+        r["event_type"]: (r["counts"], r["rows"], r["vmin"], r["vmax"])
+        for r in merge_quantile(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: (r["counts"], r["rows"], r["vmin"], r["vmax"])
+        for r in quantile_sketch_table(
+            value_events, ["event_type"], "value", boundaries=bounds
+        ).collect()
+    }
+    assert merged == direct and merged
+
+
+def test_quantile_rank_error_within_bound(spark, value_events):
+    """The estimate's RANK must be within 1/bins (+approx slack) of the
+    requested quantile — the histogram's guaranteed error metric (value
+    error in a long tail is bin-width-bound by design)."""
+    from hoard_spark.sketches import (
+        merge_quantile,
+        quantile_estimate,
+        quantile_sketch_table,
+    )
+
+    bins = 64
+    daily = quantile_sketch_table(
+        value_events, ["event_type", "day"], "value", bins=bins
+    )
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = quantile_estimate(
+        merge_quantile(daily, ["event_type"]), qs
+    ).select("event_type", "approx_quantiles")
+    joined = value_events.join(
+        F.broadcast(est), "event_type"
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.col("value") <= F.element_at("approx_quantiles", i + 1))
+                .cast("long")
+            ).alias(f"le_{i}")
+            for i in range(len(qs))
+        ],
+    )
+    slack = 1.0 / bins + 0.02  # grid resolution + percentile_approx error
+    for r in joined.collect():
+        for i, q in enumerate(qs):
+            rank = r[f"le_{i}"] / r["n"]
+            assert abs(rank - q) <= slack, (r["event_type"], q, rank)
+
+
+def test_quantile_rows_accounting(spark, value_events):
+    from hoard_spark.sketches import merge_quantile, quantile_sketch_table
+
+    daily = quantile_sketch_table(
+        value_events, ["event_type", "day"], "value", bins=32
+    )
+    merged = merge_quantile(daily, ["event_type"])
+    total = merged.agg(F.sum("rows").alias("n")).collect()[0]["n"]
+    n_nonnull = value_events.where(F.col("value").isNotNull()).count()
+    assert total == n_nonnull
+    # count arrays themselves must also sum to the row count
+    bad = merged.where(
+        F.aggregate(
+            "counts", F.lit(0).cast("long"), lambda a, x: a + x
+        ) != F.col("rows")
+    ).count()
+    assert bad == 0

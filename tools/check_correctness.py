@@ -88,8 +88,14 @@ def main():
     out = REPO / "tools" / "correctness_local.json"
     if ONLY and out.exists():
         # partial runs refresh only the named queries — keep the rest of
-        # the artifact instead of clobbering the full-gate evidence
-        results = json.loads(out.read_text())
+        # the artifact instead of clobbering the full-gate evidence, but
+        # drop entries for queries no longer in the registry so renames/
+        # removals can't inflate the summary with stale records
+        results = {
+            k: v
+            for k, v in json.loads(out.read_text()).items()
+            if k in queries
+        }
 
     def flush():
         out.write_text(json.dumps(results, indent=1, default=str))
@@ -173,7 +179,11 @@ def main():
 
     flush()
     n_ok = sum(1 for r in results.values() if r.get("ok"))
-    print(f"\n{n_ok}/{len(results)} ok; failures: {failures}")
+    scope = "artifact-wide" if ONLY else "this run"
+    print(
+        f"\n{n_ok}/{len(results)} ok ({scope}); "
+        f"this-run failures: {failures}"
+    )
     sys.exit(1 if failures else 0)
 
 

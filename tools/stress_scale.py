@@ -194,7 +194,8 @@ def main() -> None:
             "exact_sec": round(t_exact, 2),
             "ivf_build_sec": round(t_build, 2),
             "ivf_search_sec": round(t_ivf, 2),
-            "recall_at_3": round(len(ivf & exact) / len(exact), 3),
+            "recall_at_3": round(len(ivf & exact) / (len(exact) or 1), 3),
+            "exact_empty": not exact,
         }
 
     # ---- scaling verdict -------------------------------------------------
