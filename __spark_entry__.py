@@ -52,6 +52,7 @@ _PRIORITY = [
     "q39_ann_ivf", "q40_lang_id", "q41_quality_score",
     "q54_pivot", "q55_unpivot", "q56_percentiles", "q57_range_join",
     "q58_salted_agg", "q69_weighted_median", "q70_map_fns",
+    "q79_simjoin_threshold",  # new in r6 — never driver-checked
 ]
 
 

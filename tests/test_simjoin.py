@@ -1,0 +1,121 @@
+"""Prefix-filtered set-similarity join: exactness + pruning pins."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoard_spark.simjoin import jaccard_similarity_join, prefix_length
+
+
+def _corpus(seed: int, n_docs: int = 60, vocab: int = 40):
+    """Random token docs over a small vocab (forces organic overlap)
+    plus planted near-dup pairs at several similarity levels."""
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        n = rng.randint(5, 30)
+        docs.append([f"w{rng.randrange(vocab)}" for _ in range(n)])
+    # planted clones: identical, one-edit, half-rewritten
+    docs.append(list(docs[0]))
+    edited = list(docs[1])
+    edited[len(edited) // 2] = "wEDIT"
+    docs.append(edited)
+    half = list(docs[2])
+    for j in range(len(half) // 2):
+        half[j] = f"x{j}"
+    docs.append(half)
+    return docs
+
+
+def _shingle_sets(docs):
+    out = {}
+    for i, toks in enumerate(docs):
+        if len(toks) >= 3:
+            out[i] = {
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            }
+    return out
+
+
+def _brute(sets, t):
+    pairs = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= t:
+                pairs[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return pairs
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("t", [0.3, 0.6, 0.9])
+def test_simjoin_matches_brute_force(spark, seed, t):
+    docs = _corpus(seed)
+    sets = _shingle_sets(docs)
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+        for r in jaccard_similarity_join(sh, t).collect()
+    }
+    assert got == _brute(sets, t), (seed, t)
+
+
+def test_simjoin_prunes_candidates(spark):
+    """At a high threshold the prefix join must generate strictly fewer
+    pair meetings than the full posting-list join — the point of the
+    operator."""
+    docs = _corpus(99, n_docs=80, vocab=30)
+    sets = _shingle_sets(docs)
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+
+    def meetings(rows):
+        a = rows.select(F.col("doc_id").alias("a_id"), "s")
+        b = rows.select(F.col("doc_id").alias("b_id"), "s")
+        return (
+            a.join(b, "s").where(F.col("a_id") < F.col("b_id")).count()
+        )
+
+    full = meetings(sh)
+
+    from pyspark.sql import Window
+
+    t = 0.8
+    df_rank = sh.groupBy("s").agg(F.count("*").alias("_df"))
+    ranked = sh.join(df_rank, "s").select(
+        "doc_id",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("_df", "s"))
+        .alias("_r"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("_n"),
+    )
+    prefix = ranked.where(
+        F.col("_r") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    )
+    pruned = meetings(prefix.select("doc_id", "s"))
+    assert pruned < full / 2, (pruned, full)
+
+
+def test_prefix_length_bound():
+    assert prefix_length(10, 0.8) == 3
+    assert prefix_length(10, 0.5) == 6
+    assert prefix_length(1, 1.0) == 1
+
+
+def test_simjoin_rejects_bad_threshold(spark):
+    sh = spark.createDataFrame([(1, "a b c")], "doc_id long, s string")
+    for t in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            jaccard_similarity_join(sh, t)
