@@ -320,6 +320,12 @@ def extract_features(df: DataFrame) -> DataFrame:
     hash: the shape of a real quality/filter stage (NSFW scoring, codec
     sniffing, corruption detection) with the decode stubbed to the raw
     bytes. numpy-vectorized per payload; one pandas batch per Arrow chunk.
+
+    The content hash is JVM-side codegen (``F.md5`` in the projection,
+    VERDICT r5 item 7) and rides through the pandas stage untouched —
+    content-dedup wants the hash of the stored bytes, which is
+    decode-independent; only the histogram work that genuinely needs
+    Python/numpy stays in the stage.
     """
     import numpy as np  # local: executors import lazily
     import pandas as pd
@@ -327,20 +333,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     def compute(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload, md5h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["head_md5"]
+            ):
                 data = fake_decode(bytes(payload))
                 arr = np.frombuffer(data, dtype=np.uint8)
                 counts = np.bincount(arr, minlength=256)
                 p = counts[counts > 0] / max(len(arr), 1)
                 entropy = float(-(p * np.log2(p)).sum()) if len(arr) else 0.0
                 out.append(
-                    (
-                        doc_id,
-                        len(data),
-                        int((counts > 0).sum()),
-                        entropy,
-                        hashlib.md5(data).hexdigest(),
-                    )
+                    (doc_id, len(data), int((counts > 0).sum()), entropy, md5h)
                 )
             yield pd.DataFrame(
                 out, columns=[f.name for f in FEATURE_SCHEMA.fields]
@@ -349,8 +351,10 @@ def extract_features(df: DataFrame) -> DataFrame:
     ncores = df.sparkSession.sparkContext.defaultParallelism
     # payload work is compute-bound: spread batches across cores, don't
     # inherit the (often single) file-split partitioning
-    return df.repartition(ncores, "doc_id").mapInPandas(
-        compute, FEATURE_SCHEMA
+    return (
+        df.withColumn("head_md5", F.md5("payload"))
+        .repartition(ncores, "doc_id")
+        .mapInPandas(compute, FEATURE_SCHEMA)
     )
 
 
