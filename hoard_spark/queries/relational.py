@@ -824,6 +824,20 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch twin; see tests/test_streaming_windows.py for the stream side)",
 )
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via one per-user window (lag → gap flag
+    → running sum = session id). One shuffle + one sort.
+
+    Skew: one user's whole history sorts in a single task. For a
+    pathological key (bot with 10⁸ events), apply the skew-split recipe
+    implemented in hoard_spark/asof.py::_asof_skew_split — range-bucket
+    on time via approx-percentile literals, run the window per (user,
+    bucket), and carry per-bucket boundary state (last event time +
+    session count so far) through a second keys×buckets-sized window;
+    session ids then offset by the carried count, with a merge when a
+    session spans the bucket edge. Streaming twin:
+    tests/test_streaming_windows.py pins session_window convergence to
+    this batch result.
+    """
     from pyspark.sql import Window
 
     from hoard_spark.queries import dround, dsum10
