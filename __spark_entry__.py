@@ -53,6 +53,8 @@ _PRIORITY = [
     "q54_pivot", "q55_unpivot", "q56_percentiles", "q57_range_join",
     "q58_salted_agg", "q69_weighted_median", "q70_map_fns",
     "q79_simjoin_threshold",  # new in r6 — never driver-checked
+    "q80_sorted_collect",  # new in r6 — never driver-checked
+    "q81_merge_upsert",  # new in r6 — never driver-checked
 ]
 
 

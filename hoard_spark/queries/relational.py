@@ -25,6 +25,7 @@ from hoard_spark.queries import (
     davg,
     dround,
     dsum,
+    dsum10,
     load,
     query,
     spread,
@@ -1486,3 +1487,118 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q80: deterministic sorted collect (array_agg with a defined order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_sorted_collect",
+    "per-(nation, segment) sorted customer-key arrays: deterministic "
+    "array_agg",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           list_sort(list(c_custkey)) AS custkeys
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "relational surface: deterministic collect (VERDICT r5 item 8 — "
+    "collect_list order is undefined in both engines; array_sort after "
+    "the fact is the portable determinism contract)",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collect_list`` is partition-order-dependent in Spark (and
+    ``list()`` likewise in DuckDB); the deterministic form sorts the
+    built array JVM-side. The filter keeps arrays bounded (the rule for
+    ANY collect at 100 TB: collect only provably small groups — an
+    unbounded collect_list is a scale bug, not an operator)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81: MERGE-shaped upsert (matched update / unmatched insert), as a query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_merge_upsert",
+    "MERGE INTO semantics over orders: lineitem-derived updates upsert "
+    "into the order table (update matched, insert unmatched)",
+    """
+    WITH upd AS (
+        SELECT CASE WHEN l_orderkey % 7 = 0 THEN -l_orderkey
+                    ELSE l_orderkey END AS okey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE)
+                   AS new_price
+        FROM lineitem GROUP BY 1 HAVING COUNT(*) > 4
+    ),
+    base AS (SELECT o_orderkey AS okey, o_totalprice, o_orderstatus
+             FROM orders)
+    SELECT COALESCE(b.okey, u.okey) AS okey,
+           CAST(ROUND(CAST(COALESCE(u.new_price, b.o_totalprice)
+                           AS DECIMAL(25,10)), 2) AS DOUBLE) AS price,
+           CASE WHEN b.okey IS NULL THEN 'I'
+                WHEN u.okey IS NULL THEN b.o_orderstatus
+                ELSE 'U' END AS status
+    FROM base b FULL JOIN upd u ON b.okey = u.okey
+    ORDER BY okey
+    """,
+    "engine write surface: MERGE-shaped upsert twin of the LWW pipeline "
+    "(VERDICT r5 item 8) — matched rows take the update's value, "
+    "unmatched updates insert, untouched base rows ride through",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expressed as the query it compiles to — a full outer
+    join on the merge key + per-branch CASE — the exact plan a Delta/
+    Iceberg MERGE runs, and the batch twin of the engine's LWW upsert
+    (hoard_spark/ingest.py resolves matched rows by seq instead of
+    update-wins). Scale shape: one shuffle on the merge key for each
+    side; AQE handles the skewed-okey case; the update side is
+    pre-aggregated so the join is key-unique on both sides."""
+    li = load(spark, sf_dir, "lineitem")
+    upd = (
+        li.groupBy(
+            F.when(
+                F.col("l_orderkey") % 7 == 0, -F.col("l_orderkey")
+            )
+            .otherwise(F.col("l_orderkey"))
+            .alias("okey")
+        )
+        .agg(
+            dsum10("l_extendedprice").alias("new_price"),
+            F.count("*").alias("_n"),
+        )
+        .where(F.col("_n") > 4)
+        .drop("_n")
+    )
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice", "o_orderstatus"
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    j = b.join(u, F.col("b.okey") == F.col("u.okey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("b.okey"), F.col("u.okey")).alias("okey"),
+        F.round(
+            F.coalesce(F.col("u.new_price"), F.col("b.o_totalprice")).cast(
+                "decimal(25,10)"
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("price"),
+        F.when(F.col("b.okey").isNull(), F.lit("I"))
+        .when(F.col("u.okey").isNull(), F.col("b.o_orderstatus"))
+        .otherwise(F.lit("U"))
+        .alias("status"),
+    ).orderBy("okey")
