@@ -828,34 +828,23 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via one per-user window (lag → gap flag
     → running sum = session id). One shuffle + one sort.
 
-    Skew: one user's whole history sorts in a single task. For a
-    pathological key (bot with 10⁸ events), apply the skew-split recipe
-    implemented in hoard_spark/asof.py::_asof_skew_split — range-bucket
-    on time via approx-percentile literals, run the window per (user,
-    bucket), and carry per-bucket boundary state (last event time +
-    session count so far) through a second keys×buckets-sized window;
-    session ids then offset by the carried count, with a merge when a
-    session spans the bucket edge. Streaming twin:
-    tests/test_streaming_windows.py pins session_window convergence to
-    this batch result.
+    Skew: one user's whole history sorts in a single task under the
+    default plan. For a pathological key (bot with 10⁸ events), the
+    library operator this query delegates to implements the skew-split
+    (hoard_spark/sessionize.py: range-bucketed per-(user, bucket)
+    windows + boundary-merged session ids, ``skew_buckets`` parameter,
+    hot-key equality pinned by tests/test_sessionize.py). Streaming
+    twin: tests/test_streaming_windows.py pins session_window
+    convergence to this batch result.
     """
-    from pyspark.sql import Window
-
     from hoard_spark.queries import dround, dsum10
+    from hoard_spark.sessionize import sessionize
 
     t = load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
     )
-    w = Window.partitionBy("user_id").orderBy("us")
-    new_s = (
-        F.when(
-            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
-            | F.lag("us").over(w).isNull(),
-            1,
-        ).otherwise(0)
-    )
-    sess = t.withColumn("new_s", new_s).withColumn(
-        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sess = sessionize(t, ["user_id"], "us", gap=1_800_000_000).withColumnRenamed(
+        "session_id", "sid"
     )
     agg = sess.groupBy("user_id", "sid").agg(
         F.count("*").alias("n_events"),

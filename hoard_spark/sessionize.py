@@ -1,0 +1,138 @@
+"""Gap-based sessionization as a library operator, with a skew-split.
+
+q48 (hoard_spark/queries/relational.py) is the fixed-shape conformance
+twin over `events`; this is the composable form — the relationship
+``asof.py`` has to q50. Semantics: events of one key belong to the same
+session while consecutive gaps are <= ``gap`` (strictly larger gaps
+split — q48's contract and the complement of ``session_window``'s
+half-open windows, which tests/test_streaming_windows.py pins as the
+streaming twin on gap-tie-free data).
+
+Single-window plan: lag → gap flag → running sum per key. One shuffle,
+one sort — but one key's whole history sorts in one task.
+
+``skew_buckets > 0`` applies the same split recipe as
+``asof._asof_skew_split`` (range-bucket on approx-percentile literals,
+window per (key, bucket)) plus the piece sessionization needs on top:
+**boundary merging**. Per (key, bucket) a one-row boundary summary
+(first/last event time, local session count) feeds a keys×buckets-sized
+window that decides, per bucket edge, whether the first session of
+bucket b continues the last session of b-1 (edge gap <= ``gap``), and
+accumulates each bucket's global session-id offset = sessions in
+earlier buckets minus merged edges. Local ids then shift by the offset
+map-side — the merged session's two halves land on the same global id
+with no extra data-sized shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_ID = "session_id"
+_BUCKET = "_sess_bucket"
+
+
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    order: str,
+    gap: float,
+    skew_buckets: int = 0,
+) -> DataFrame:
+    """Assign ``session_id`` (per ``keys``, 1-based in event order) to
+    every row: a new session starts when the gap from the previous
+    row's ``order`` exceeds ``gap``. ``order`` must be numeric (convert
+    timestamps with ``unix_micros`` upstream; ``gap`` is then in the
+    same unit). Input columns ride through unchanged.
+    """
+    reserved = {SESSION_ID, _BUCKET, "_gap_flag"}
+    hit = reserved & set(df.columns)
+    if hit:
+        raise ValueError(f"columns collide with sessionize internals: {hit}")
+    if skew_buckets > 1:
+        return _sessionize_skew_split(df, keys, order, gap, skew_buckets)
+    w = Window.partitionBy(*keys).orderBy(order)
+    new_s = F.when(
+        (F.col(order) - F.lag(order).over(w) > gap)
+        | F.lag(order).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_gap_flag", new_s).withColumn(
+        SESSION_ID,
+        F.sum("_gap_flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    ).drop("_gap_flag")
+
+
+def _sessionize_skew_split(
+    df: DataFrame, keys: list[str], order: str, gap: float, buckets: int
+) -> DataFrame:
+    qs = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(F.col(order).cast("double"), qs).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or []))
+    bucket_expr = F.lit(0)
+    for b in bounds:
+        bucket_expr = bucket_expr + F.when(
+            F.col(order).cast("double") > F.lit(b), 1
+        ).otherwise(0)
+    ub = df.withColumn(_BUCKET, bucket_expr)
+
+    # Stage 1: local sessionization per (keys, bucket) — the hot key
+    # spreads across the buckets it spans.
+    w_in = Window.partitionBy(*keys, _BUCKET).orderBy(order)
+    new_s = F.when(
+        (F.col(order) - F.lag(order).over(w_in) > gap)
+        | F.lag(order).over(w_in).isNull(),
+        1,
+    ).otherwise(0)
+    local = ub.withColumn("_gap_flag", new_s).withColumn(
+        "_local_sid",
+        F.sum("_gap_flag")
+        .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+
+    # Stage 2: keys×buckets boundary table → per-bucket global offset.
+    # merge(b) = 1 iff bucket b's first event continues the previous
+    # OCCUPIED bucket's last session (edge gap <= gap).
+    boundary = local.groupBy(*keys, _BUCKET).agg(
+        F.min(order).alias("_first"),
+        F.max(order).alias("_last"),
+        F.max("_local_sid").alias("_n_sess"),
+    )
+    w_b = Window.partitionBy(*keys).orderBy(_BUCKET)
+    w_cum = w_b.rowsBetween(Window.unboundedPreceding, -1)
+    merged = boundary.withColumn(
+        "_merge",
+        F.when(
+            F.col("_first") - F.lag("_last").over(w_b) <= gap, 1
+        ).otherwise(0),
+    )
+    offsets = merged.select(
+        *keys,
+        F.col(_BUCKET),
+        (
+            F.coalesce(F.sum("_n_sess").over(w_cum), F.lit(0))
+            - F.coalesce(
+                F.sum("_merge").over(
+                    w_b.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            )
+        ).alias("_offset"),
+        F.col("_merge"),
+    )
+
+    # A merged bucket's first LOCAL session (sid 1) must collapse onto
+    # the previous bucket's last global id: offset already subtracts the
+    # current edge's merge, so local sid 1 + offset == previous bucket's
+    # last id exactly when _merge == 1. Later local sessions shift by
+    # the same offset, keeping ids dense and ordered.
+    out = local.join(offsets, on=[*keys, _BUCKET], how="left").withColumn(
+        SESSION_ID, (F.col("_local_sid") + F.col("_offset")).cast("long")
+    )
+    return out.drop(_BUCKET, "_gap_flag", "_local_sid", "_offset", "_merge")
