@@ -55,6 +55,7 @@ _PRIORITY = [
     "q79_simjoin_threshold",  # new in r6 — never driver-checked
     "q80_sorted_collect",  # new in r6 — never driver-checked
     "q81_merge_upsert",  # new in r6 — never driver-checked
+    "q82_quantile_sketch",  # new in r6 — never driver-checked
 ]
 
 

@@ -1591,3 +1591,69 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("U"))
         .alias("status"),
     ).orderBy("okey")
+
+
+# ---------------------------------------------------------------------------
+# q82: mergeable quantile-sketch state (equi-depth histogram), oracle-pinned
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_quantile_sketch",
+    "per-event_type histogram sketch state (4 exact-quartile bins) built "
+    "daily and MERGED — the mergeable percentile scale path, cross-"
+    "engine-pinned",
+    """
+    WITH b AS (
+        SELECT ROUND(quantile_cont(value, 0.25), 4) AS b1,
+               ROUND(quantile_cont(value, 0.50), 4) AS b2,
+               ROUND(quantile_cont(value, 0.75), 4) AS b3
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax,
+           CAST(SUM(CASE WHEN value <= b1 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN value > b1 AND value <= b2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN value > b2 AND value <= b3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN value > b3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+    FROM events, b WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "approximate-query surface: mergeable quantile sketch state "
+    "(hoard_spark/sketches.py; the q56 scale path, round 6)",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the DAILY histogram table then merges to event_type grain
+    — so the driver pins the *merged* sketch state against the oracle's
+    direct computation, on top of tests' merge==direct pin. The grid
+    uses exact quartiles (one small job, literals inlined) so DuckDB
+    can replicate it; production grids use percentile_approx
+    (quantile_boundaries) where cross-engine bit-parity isn't needed.
+    """
+    from hoard_spark.sketches import merge_quantile, quantile_sketch_table
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    brow = ev.where(F.col("value").isNotNull()).select(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("b")
+    ).first()
+    bounds = [round(float(x), 4) for x in brow["b"]]
+    daily = quantile_sketch_table(
+        ev, ["event_type", "day"], "value", boundaries=bounds
+    )
+    m = merge_quantile(daily, ["event_type"])
+    return m.select(
+        "event_type",
+        F.col("rows").alias("n_rows"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        *[
+            F.try_element_at("counts", F.lit(i + 1)).alias(f"c{i}")
+            for i in range(4)
+        ],
+    ).orderBy("event_type")
