@@ -132,13 +132,43 @@ def asof_backward(
     window across up to N order-range buckets (see module docstring) —
     use for pathological keys (a bot user_id with 10⁸ events).
     """
+    return _asof(probe, reference, keys, order, carry, skew_buckets, False)
+
+
+def asof_forward(
+    probe: DataFrame,
+    reference: DataFrame,
+    keys: list[str],
+    order: str,
+    carry: list[str],
+    skew_buckets: int = 0,
+) -> DataFrame:
+    """Mirror of :func:`asof_backward`: attach the EARLIEST reference
+    row with ``reference.order >= probe.order`` (the "next reading"
+    direction — e.g. match each order to the next price tick). Same
+    contract, same plans; the windows simply scan in descending order,
+    and the skew-split carry-in flows from LATER buckets.
+    """
+    return _asof(probe, reference, keys, order, carry, skew_buckets, True)
+
+
+def _asof(
+    probe: DataFrame,
+    reference: DataFrame,
+    keys: list[str],
+    order: str,
+    carry: list[str],
+    skew_buckets: int,
+    forward: bool,
+) -> DataFrame:
     _validate(probe, reference, carry)
     u, _ = _tagged_union(probe, reference, keys, order, carry)
+    ord_spec = F.desc(order) if forward else F.asc(order)
     if skew_buckets > 1:
-        return _asof_skew_split(u, keys, order, carry, skew_buckets)
+        return _asof_skew_split(u, keys, order, carry, skew_buckets, forward)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(order, _KIND)
+        .orderBy(ord_spec, _KIND)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # one projection → Catalyst plans a single Window operator
@@ -151,7 +181,12 @@ def asof_backward(
 
 
 def _asof_skew_split(
-    u: DataFrame, keys: list[str], order: str, carry: list[str], buckets: int
+    u: DataFrame,
+    keys: list[str],
+    order: str,
+    carry: list[str],
+    buckets: int,
+    forward: bool = False,
 ) -> DataFrame:
     # Bucket boundaries: one small aggregate job; inlined as literals so
     # assignment is a map-side codegen projection on the scan (the ann.py
@@ -169,11 +204,12 @@ def _asof_skew_split(
         ).otherwise(0)
     ub = u.withColumn(_BUCKET, bucket_expr)
 
+    ord_spec = F.desc(order) if forward else F.asc(order)
     # Stage 1: in-bucket window — identical semantics to the single
     # window, but the hot key now spreads across the buckets it spans.
     w_in = (
         Window.partitionBy(*keys, _BUCKET)
-        .orderBy(order, _KIND)
+        .orderBy(ord_spec, _KIND)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     staged = ub.select(
@@ -181,21 +217,23 @@ def _asof_skew_split(
         F.last(_CARRY, ignorenulls=True).over(w_in).alias("_in_bucket"),
     )
 
-    # Stage 2: per (keys, bucket) the LAST reference struct — a
-    # keys×buckets-sized table — then each bucket's carry-in is the
-    # latest boundary struct from any strictly earlier bucket.
+    # Stage 2: per (keys, bucket) the boundary reference struct (LAST
+    # for backward, FIRST for forward) — a keys×buckets-sized table —
+    # then each bucket's carry-in is the nearest boundary struct from
+    # strictly earlier (backward) / later (forward) buckets.
+    edge_pick = F.min_by if forward else F.max_by
     boundary = ub.where(F.col(_KIND) == 0).groupBy(*keys, _BUCKET).agg(
-        F.max_by(_CARRY, F.col(order)).alias("_last_ref")
+        edge_pick(_CARRY, F.col(order)).alias("_last_ref")
     )
     # every (keys, bucket) that exists on EITHER side needs a carry-in
-    # row — a probe-only bucket still inherits from earlier buckets
+    # row — a probe-only bucket still inherits across the edge
     occupied = ub.groupBy(*keys, _BUCKET).agg(F.lit(1).alias("_one")).drop(
         "_one"
     )
     boundary = occupied.join(boundary, on=[*keys, _BUCKET], how="left")
     w_carry = (
         Window.partitionBy(*keys)
-        .orderBy(_BUCKET)
+        .orderBy(F.desc(_BUCKET) if forward else F.asc(_BUCKET))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry_in = boundary.select(

@@ -186,3 +186,48 @@ def test_asof_skew_split_hot_key(spark):
 
     u, _ = _tagged_union(probe_df, ref_df, ["k"], "o", ["val"])
     assert u.count() == n_ref + n_probe
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    refs=_refs,
+    probes=_probes,
+    skew_buckets=st.sampled_from([0, 4]),
+)
+def test_asof_forward_matches_model(spark, refs, probes, skew_buckets):
+    """Mirror contract: earliest reference with order >= probe order,
+    including ties and null carry values, for both plans."""
+    from hoard_spark.asof import asof_forward
+
+    ref_df = spark.createDataFrame(
+        [(k, o, None if v is None else float(v)) for k, o, v in refs],
+        "k long, o long, val double",
+    )
+    probe_df = spark.createDataFrame(
+        [(i, k, o) for i, (k, o) in enumerate(probes)],
+        "pid long, k long, o long",
+    )
+    got = {
+        r["pid"]: (r["val"], r[ASOF_ORDER])
+        for r in asof_forward(
+            probe_df,
+            ref_df,
+            keys=["k"],
+            order="o",
+            carry=["val"],
+            skew_buckets=skew_buckets,
+        ).collect()
+    }
+    expected = {}
+    for i, (k, o) in enumerate(probes):
+        cands = [(ro, rv) for rk, ro, rv in refs if rk == k and ro >= o]
+        if cands:
+            mo, mv = min(cands, key=lambda t: t[0])
+            expected[i] = (None if mv is None else float(mv), mo)
+        else:
+            expected[i] = (None, None)
+    assert got == expected
