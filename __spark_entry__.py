@@ -56,6 +56,7 @@ _PRIORITY = [
     "q80_sorted_collect",  # new in r6 — never driver-checked
     "q81_merge_upsert",  # new in r6 — never driver-checked
     "q82_quantile_sketch",  # new in r6 — never driver-checked
+    "q83_gapfill",  # new in r6 — never driver-checked
 ]
 
 

@@ -156,3 +156,69 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q83_gapfill",
+    "fetch null-fill spine: dense hourly buckets per metric between its "
+    "first and last point, NULL (is_gap) where no data landed",
+    """
+    WITH t0 AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               max_by(value, event_id) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+              FROM t0 GROUP BY 1)
+    )
+    SELECT s.event_type, s.bucket, ROUND(t0.v, 4) AS v,
+           CAST(t0.bucket IS NULL AS BOOLEAN) AS is_gap
+    FROM spine s LEFT JOIN t0 USING (event_type, bucket)
+    ORDER BY 1, 2
+    """,
+    "SURVEY.md §2C Q83 (O7 fetch gap-fill, src/hoard.coffee:493-512 — "
+    "the null-fill spine, previously engine-API-tested only (golden "
+    "G3); Spark `sequence`+`explode` vs DuckDB `generate_series` is a "
+    "declared dialect divergence, hash-match on results)",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fetch materializes one slot per bucket in the
+    window, known or not (src/hoard.coffee:493-512: values[i] stays
+    null where no slot matched). Spine generation is per-metric
+    `sequence(min, max, 1h)` + explode — spine size is buckets-per-
+    metric (bounded by retention), never data-sized, and the left join
+    back to tier-0 shares the (event_type, bucket) shuffle with the
+    aggregation above it. The engine API twin (fetch's timeInfo-aligned
+    null vector) is pinned by golden G3; this pins the same semantics
+    driver-side."""
+    t0 = _t0(spark, sf_dir)
+    spine = (
+        t0.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    return (
+        spine.join(
+            t0.withColumn("_present", F.lit(True)),
+            ["event_type", "bucket"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.round("v", 4).alias("v"),
+            # join-miss, NOT v-null: a bucket whose LWW value is NULL is
+            # a known slot, not a gap (matches the oracle's t0.bucket IS
+            # NULL test)
+            F.col("_present").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket")
+    )
