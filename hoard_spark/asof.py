@@ -25,6 +25,13 @@ boundary-sized window over the per-bucket last-reference table computes
 each bucket's carry-in, joined back on ``(keys, bucket)``. Two extra
 narrow stages over a keys×buckets-sized table buy per-key
 parallelism; below the threshold the single window is strictly cheaper.
+Measured on 32 cores (tools/stress_scale.json ``hot_key_windows``):
+at 2M rows/key the split is roughly a wash (its fixed stages can lose
+in an idle session, 3.1s → 4.6s); at 20M rows/key it wins 3.2× idle
+(56.6s → 17.7s) and 16× under the stress harness's memory pressure
+(103s → 6.4s — the single task starts spilling, which is exactly the
+100 TB hot-key failure mode). Reach for it when a key's history is
+tens of millions of rows or a task spills.
 
 No reference analog (the reference is a single-metric time-series
 store, src/hoard.coffee); this generalizes its "latest value at or

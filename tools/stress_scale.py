@@ -198,6 +198,60 @@ def main() -> None:
             "exact_empty": not exact,
         }
 
+    # ---- hot-key windows: skew-split vs single-task window ---------------
+    # One pathological key: the single window sorts it in ONE task;
+    # skew_buckets=32 spreads it across the cores. Equality is pinned by
+    # tests; this measures the wall-clock, at a point below the
+    # crossover (split's fixed stages dominate — the docs' "fall back to
+    # the single window below a size threshold") and one above it
+    # (single-task sort is the long pole; measured r6: asof 56.6s→17.7s,
+    # sessionize 14.2s→6.4s at 20M rows on this host).
+    from pyspark.sql import functions as F
+
+    from hoard_spark.asof import asof_backward
+    from hoard_spark.sessionize import sessionize
+
+    out["hot_key_windows"] = {}
+    for label, n_hot in (("2M", 2_000_000), ("20M", 20_000_000)):
+        hot_ref = spark.range(n_hot).select(
+            F.lit(1).alias("k"), (F.col("id") * 2).alias("o"),
+            F.col("id").cast("double").alias("val"),
+        )
+        hot_probe = spark.range(n_hot).select(
+            F.col("id").alias("pid"), F.lit(1).alias("k"),
+            (F.col("id") * 2 + 1).alias("o"),
+        )
+        t0 = time.time()
+        _noop(asof_backward(hot_probe, hot_ref, ["k"], "o", ["val"]))
+        asof_single = time.time() - t0
+        t0 = time.time()
+        _noop(
+            asof_backward(
+                hot_probe, hot_ref, ["k"], "o", ["val"], skew_buckets=32
+            )
+        )
+        asof_split = time.time() - t0
+        hot_events = spark.range(n_hot).select(
+            F.lit(1).alias("k"),
+            (
+                (F.col("id") % 50) * 10
+                + (F.col("id") / 50).cast("long") * 10_000
+            ).alias("o"),
+        )
+        t0 = time.time()
+        _noop(sessionize(hot_events, ["k"], "o", gap=100))
+        sess_single = time.time() - t0
+        t0 = time.time()
+        _noop(sessionize(hot_events, ["k"], "o", gap=100, skew_buckets=32))
+        sess_split = time.time() - t0
+        out["hot_key_windows"][label] = {
+            "rows_per_key": n_hot,
+            "asof_single_sec": round(asof_single, 2),
+            "asof_split32_sec": round(asof_split, 2),
+            "sessionize_single_sec": round(sess_single, 2),
+            "sessionize_split32_sec": round(sess_split, 2),
+        }
+
     # ---- scaling verdict -------------------------------------------------
     def ratio(big_s: float, base_s: float) -> float:
         return round(big_s / base_s, 2) if base_s > 0 else -1.0
