@@ -57,6 +57,7 @@ _PRIORITY = [
     "q81_merge_upsert",  # new in r6 — never driver-checked
     "q82_quantile_sketch",  # new in r6 — never driver-checked
     "q83_gapfill",  # new in r6 — never driver-checked
+    "q84_ewma",  # new in r6 — never driver-checked
 ]
 
 

@@ -1657,3 +1657,82 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q84: bounded-lookback EWMA (exponentially-decayed moving average)
+# ---------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.7  # (1 - alpha)
+_EWMA_K = 8  # lookback depth: weight beyond 8 lags < 6% of the head
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(value, {j}) OVER w, 0) * {_EWMA_DECAY ** j!r}"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {j}) OVER w IS NULL THEN 0 ELSE "
+        f"{_EWMA_DECAY ** j!r} END)"
+        for j in range(_EWMA_K)
+    )
+    return f"""
+    SELECT event_type, event_id,
+           CAST(ROUND(CAST(({num}) / ({den}) AS DECIMAL(25,10)), 4)
+                AS DOUBLE) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    ORDER BY event_type, event_id
+    """
+
+
+@query(
+    "q84_ewma",
+    "bounded-lookback EWMA per metric: decay-weighted average of the "
+    "last 8 points, null-aware normalization at the series head",
+    _ewma_sql(),
+    "relational surface: exponential smoothing (round 6) — the "
+    "recursive EWMA is not a window aggregate; the K-term truncation "
+    "(tail weight 0.7^8 < 6%) makes it one, identical SQL in both "
+    "engines",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacked LAG terms share ONE window spec, so Catalyst plans a
+    single Window operator (one shuffle + sort per metric) — the same
+    rule as q21's ranking battery. The truncated form is the scale
+    answer to recursive smoothing: exact EWMA needs sequential state
+    per key (a single-task scan or applyInPandasWithState); eight
+    codegen lags cost nothing and bound the error by the dropped tail
+    mass."""
+    from pyspark.sql import Window
+
+    from hoard_spark.queries import dround
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    num = sum(
+        (
+            F.coalesce(F.lag("value", j).over(w), F.lit(0.0))
+            * F.lit(_EWMA_DECAY**j)
+            for j in range(_EWMA_K)
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("value", j).over(w).isNull(), 0.0).otherwise(
+                F.lit(_EWMA_DECAY**j)
+            )
+            for j in range(_EWMA_K)
+        ),
+        start=F.lit(0.0),
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            dround(num / den).alias("ewma"),
+        )
+        .orderBy("event_type", "event_id")
+    )
