@@ -58,6 +58,7 @@ _PRIORITY = [
     "q82_quantile_sketch",  # new in r6 — never driver-checked
     "q83_gapfill",  # new in r6 — never driver-checked
     "q84_ewma",  # new in r6 — never driver-checked
+    "q85_interval_join",  # new in r6 — never driver-checked
 ]
 
 

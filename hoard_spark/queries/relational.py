@@ -1736,3 +1736,99 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85: big x big interval-overlap join via grid bucketing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_interval_join",
+    "same-supplier overlapping shipping windows among high-quantity "
+    "lineitems: big x big interval join, grid-bucketed",
+    """
+    WITH li AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               date_diff('day', DATE '1992-01-01', l_shipdate) AS s,
+               date_diff('day', DATE '1992-01-01', l_shipdate)
+                 + CAST(l_quantity AS INT) % 14 + 1 AS e
+        FROM lineitem WHERE l_quantity > 45
+    )
+    SELECT a.l_suppkey AS suppkey,
+           a.l_orderkey AS a_ok, a.l_linenumber AS a_ln,
+           b.l_orderkey AS b_ok, b.l_linenumber AS b_ln,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS BIGINT)
+               AS overlap_days
+    FROM li a JOIN li b
+      ON a.l_suppkey = b.l_suppkey
+     AND (a.l_orderkey < b.l_orderkey
+          OR (a.l_orderkey = b.l_orderkey
+              AND a.l_linenumber < b.l_linenumber))
+     AND a.s <= b.e AND b.s <= a.e
+    ORDER BY 1, 2, 3, 4, 5
+    """,
+    "relational surface: interval-overlap join (round 6) — both sides "
+    "data-sized, so the plan grid-buckets instead of theta-joining "
+    "(hoard_spark/intervals.py); oracle = the quadratic theta twin. "
+    "Spark `datediff` vs DuckDB `date_diff` is the declared dialect "
+    "divergence (hash-match on results).",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals: [ship_day, ship_day + qty%14 + 1] (synthetic end —
+    the testdata carries no receipt date). Both sides are the same
+    data-sized set, so the library operator explodes each interval to
+    14-day grid cells, equi-joins on (suppkey, cell), verifies the
+    exact predicate, and keeps each pair only at its first shared cell
+    — work ∝ overlaps, no per-supplier nested loop, no distinct."""
+    from hoard_spark.intervals import interval_overlap_join
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff("l_shipdate", F.lit("1992-01-01").cast("date")).alias(
+                "s"
+            ),
+            (
+                F.datediff("l_shipdate", F.lit("1992-01-01").cast("date"))
+                + F.col("l_quantity").cast("int") % 14
+                + 1
+            ).alias("e"),
+        )
+    )
+    a = li.select(
+        "suppkey",
+        F.col("l_orderkey").alias("a_ok"),
+        F.col("l_linenumber").alias("a_ln"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = li.select(
+        "suppkey",
+        F.col("l_orderkey").alias("b_ok"),
+        F.col("l_linenumber").alias("b_ln"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["suppkey"], ("a_s", "a_e"), ("b_s", "b_e"), bucket_width=14
+    ).where(
+        (F.col("a_ok") < F.col("b_ok"))
+        | ((F.col("a_ok") == F.col("b_ok")) & (F.col("a_ln") < F.col("b_ln")))
+    )
+    return pairs.select(
+        "suppkey",
+        "a_ok",
+        "a_ln",
+        "b_ok",
+        "b_ln",
+        (
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    ).orderBy("suppkey", "a_ok", "a_ln", "b_ok", "b_ln")
