@@ -48,15 +48,18 @@ class WarehouseFS:
         return int(st.getModificationTime()), int(st.getLen())
 
     def child_summary(self, p: str) -> tuple[int, int]:
-        """(file_count, total_length) over the direct children of a
-        directory — one listStatus RPC, no recursion. Gives the
-        fingerprint a content signal where a bare dir stat has none."""
+        """(child_count, total_file_length) over the direct children of
+        a directory — one listStatus RPC, no recursion. Gives the
+        fingerprint a content signal where a bare dir stat has none.
+        Directory children count toward child_count but not the length
+        (local FS reports a filesystem-dependent dir size, e.g. 4096)."""
         fs = self._fs(p)
         hp = self._path(p)
         total = n = 0
         for st in fs.listStatus(hp):
             n += 1
-            total += int(st.getLen())
+            if st.isFile():
+                total += int(st.getLen())
         return n, total
 
     def isdir(self, p: str) -> bool:
