@@ -59,6 +59,7 @@ _PRIORITY = [
     "q83_gapfill",  # new in r6 — never driver-checked
     "q84_ewma",  # new in r6 — never driver-checked
     "q85_interval_join",  # new in r6 — never driver-checked
+    "q86_window_distinct",  # new in r6 — never driver-checked
 ]
 
 

@@ -1832,3 +1832,52 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_days"),
     ).orderBy("suppkey", "a_ok", "a_ln", "b_ok", "b_ln")
+
+
+# ---------------------------------------------------------------------------
+# q86: distinct count over a sliding window frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q86_window_distinct",
+    "distinct users over each metric's trailing 10-event frame",
+    """
+    SELECT event_type, event_id,
+           CAST(COUNT(DISTINCT user_id) OVER
+                (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS uniq_users
+    FROM events
+    ORDER BY event_type, event_id
+    """,
+    "relational surface: windowed distinct count (round 6) — Spark has "
+    "no DISTINCT window aggregate; size(collect_set) over the frame is "
+    "the standard workaround, pinned here against DuckDB's native "
+    "COUNT(DISTINCT ...) OVER",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``size(collect_set(...))`` over a bounded ROWS frame: per-row
+    state is the ≤10-element set, so memory is frame-bounded and the
+    plan stays one Window operator (one shuffle + sort per metric).
+    Safe ONLY with a bounded frame — over an unbounded frame the set
+    grows with the partition; that shape belongs to the HLL sketch
+    table (hoard_spark/sketches.py), not a window."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.size(F.collect_set("user_id").over(w))
+            .cast("long")
+            .alias("uniq_users"),
+        )
+        .orderBy("event_type", "event_id")
+    )

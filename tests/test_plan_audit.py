@@ -214,3 +214,40 @@ def test_value_windows_share_one_window(spark):
     plan = plan_of(REG["q76_value_windows"].spark_fn(spark, SF))
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_simjoin_no_cartesian_and_prefix_prunes(spark):
+    """q79's candidate generation must be an equi-join on the prefix
+    posting lists — no BroadcastNestedLoop/Cartesian anywhere."""
+    plan = plan_of(REG["q79_simjoin_threshold"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_no_cartesian_no_distinct(spark):
+    """q85: grid-bucketed equi-join with arithmetic dedup — neither a
+    nested-loop theta join nor a distinct shuffle may appear."""
+    plan = plan_of(REG["q85_interval_join"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Deduplicate" not in plan
+
+
+def test_ewma_single_window_operator(spark):
+    """q84's eight lag terms must share ONE Window operator."""
+    plan = plan_of(REG["q84_ewma"].spark_fn(spark, SF))
+    assert plan.count("Window") == 1, plan[:1500]
+
+
+def test_window_distinct_single_window_operator(spark):
+    plan = plan_of(REG["q86_window_distinct"].spark_fn(spark, SF))
+    assert plan.count("Window") == 1, plan[:1500]
+
+
+def test_merge_upsert_single_shuffle_per_side(spark):
+    """q81: pre-aggregated update side joins base with a plain shuffle
+    join — no nested loop, no extra exchanges beyond the two sides +
+    the final sort."""
+    plan = plan_of(REG["q81_merge_upsert"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
