@@ -60,6 +60,7 @@ _PRIORITY = [
     "q84_ewma",  # new in r6 — never driver-checked
     "q85_interval_join",  # new in r6 — never driver-checked
     "q86_window_distinct",  # new in r6 — never driver-checked
+    "q87_snapshot_diff",  # new in r6 — never driver-checked
 ]
 
 

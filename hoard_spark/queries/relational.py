@@ -1881,3 +1881,82 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: keyed snapshot diff (added / removed / changed reconciliation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_snapshot_diff",
+    "diff two deterministic order snapshots by key: dropped (key%17=0), "
+    "price-bumped (key%13=0), synthesized adds (negative keys, key%19=0)",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS okey, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    new AS (
+        SELECT okey, CASE WHEN okey % 13 = 0 THEN price + 100.0
+                          ELSE price END AS price, status
+        FROM old WHERE okey % 17 <> 0
+        UNION ALL
+        SELECT -okey, price, 'N' FROM old WHERE okey % 19 = 0
+    )
+    SELECT COALESCE(o.okey, n.okey) AS okey,
+           CASE WHEN o.okey IS NULL THEN 'added'
+                WHEN n.okey IS NULL THEN 'removed'
+                WHEN o.price <> n.price OR o.status <> n.status
+                     THEN 'changed' END AS change,
+           o.price AS old_price, n.price AS new_price,
+           o.status AS old_status, n.status AS new_status
+    FROM old o FULL JOIN new n ON o.okey = n.okey
+    WHERE o.okey IS NULL OR n.okey IS NULL
+       OR o.price <> n.price OR o.status <> n.status
+    ORDER BY okey
+    """,
+    "pipeline reconciliation: keyed snapshot diff (round 6, "
+    "hoard_spark/diff.py) — added/removed/changed in one full outer "
+    "join, |delta|-sized output",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The library operator compares value STRUCTS with eqNullSafe (one
+    codegen comparison regardless of column count); the query flattens
+    the structs for the oracle. Synthetic second snapshot keeps the
+    test deterministic: +100.0 stays exact in 2dp decimal-valued
+    doubles, so no rounding stabilization is needed."""
+    from hoard_spark.diff import table_diff
+
+    old = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = (
+        old.where(F.col("okey") % 17 != 0)
+        .select(
+            "okey",
+            F.when(F.col("okey") % 13 == 0, F.col("price") + 100.0)
+            .otherwise(F.col("price"))
+            .alias("price"),
+            "status",
+        )
+        .unionByName(
+            old.where(F.col("okey") % 19 == 0).select(
+                (-F.col("okey")).alias("okey"),
+                "price",
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    d = table_diff(old, new, ["okey"])
+    return d.select(
+        "okey",
+        "change",
+        F.col("old_vals")["price"].alias("old_price"),
+        F.col("new_vals")["price"].alias("new_price"),
+        F.col("old_vals")["status"].alias("old_status"),
+        F.col("new_vals")["status"].alias("new_status"),
+    ).orderBy("okey")
