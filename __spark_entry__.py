@@ -61,6 +61,8 @@ _PRIORITY = [
     "q85_interval_join",  # new in r6 — never driver-checked
     "q86_window_distinct",  # new in r6 — never driver-checked
     "q87_snapshot_diff",  # new in r6 — never driver-checked
+    "q88_scd2_intervals",  # new in r6 — never driver-checked
+    "q89_fuzzy_probe",  # new in r6 — never driver-checked
 ]
 
 

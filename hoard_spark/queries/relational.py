@@ -1960,3 +1960,128 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_vals")["status"].alias("old_status"),
         F.col("new_vals")["status"].alias("new_status"),
     ).orderBy("okey")
+
+
+# ---------------------------------------------------------------------------
+# q88: SCD-2 validity intervals from a change log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q88_scd2_intervals",
+    "slowly-changing-dimension build: per user the validity interval of "
+    "each observed value (valid_from = event ts, valid_to = next event "
+    "ts, open tail NULL)",
+    """
+    WITH log AS (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               LEAD(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS version, ts AS valid_from,
+           valid_to, ROUND(value, 4) AS value,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM log ORDER BY user_id, version
+    """,
+    "temporal surface: SCD-2 interval build (round 6) — the warehouse "
+    "dimension-versioning staple; the intervals feed asof_backward "
+    "(hoard_spark/asof.py) for point-in-time joins",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window per key (ROW_NUMBER + LEAD share the spec → a single
+    Window operator, one shuffle+sort). The open-tail row is flagged
+    is_current; event_id breaks ts ties so versions are total. At scale
+    this is the incremental-build shape too: a new batch only touches
+    each key's current row plus its own rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    log = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+        )
+    )
+    return (
+        log.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 4).alias("value"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89: fuzzy probe matching (edit distance, broadcast probe set)
+# ---------------------------------------------------------------------------
+
+_FUZZY_PROBES = [
+    "smal ring", "red wdget", "blue blot", "hot gearz", "grene gizmo",
+]
+
+
+@query(
+    "q89_fuzzy_probe",
+    "entity-resolution-lite: for each misspelled probe name, the "
+    "closest part by Levenshtein distance (ties by partkey)",
+    f"""
+    WITH probes(probe) AS (
+        VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}
+    ),
+    scored AS (
+        SELECT probe, p_partkey, p_name,
+               levenshtein(probe, p_name) AS dist,
+               ROW_NUMBER() OVER
+                 (PARTITION BY probe
+                  ORDER BY levenshtein(probe, p_name), p_partkey) AS rn
+        FROM probes CROSS JOIN part
+    )
+    SELECT probe, p_partkey AS best_partkey, p_name AS best_name,
+           CAST(dist AS BIGINT) AS dist
+    FROM scored WHERE rn = 1 ORDER BY probe
+    """,
+    "text surface: fuzzy matching (round 6) — JVM levenshtein over a "
+    "BROADCAST probe set (work = |corpus| x |probes|, one scan, no "
+    "corpus self-join); both engines implement standard edit distance",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe set broadcasts, so the plan is one linear scan of part
+    with an O(|probes|) codegen edit-distance battery per row — the
+    right shape when probes ≪ corpus. (Corpus×corpus fuzzy dedup would
+    instead block/LSH first — the q35/q79 machinery.) Deterministic
+    tie-break on partkey via the shared window."""
+    from pyspark.sql import Window
+
+    probes = spark.createDataFrame(
+        [(p,) for p in _FUZZY_PROBES], "probe string"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    scored = part.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        "p_partkey",
+        "p_name",
+        F.levenshtein("probe", "p_name").alias("dist"),
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "p_partkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe",
+            F.col("p_partkey").alias("best_partkey"),
+            F.col("p_name").alias("best_name"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .orderBy("probe")
+    )
