@@ -50,6 +50,32 @@ _CARRY = "_asof_carry"
 _BUCKET = "_asof_bucket"
 _ORD_FIELD = "__asof_ord"
 
+# rows-per-key above which the split plan wins on 32 cores (measured
+# crossover lives between 2M and 20M; see module docstring)
+AUTO_SKEW_THRESHOLD = 5_000_000
+AUTO_SKEW_BUCKETS = 32
+
+
+def resolve_skew_buckets(
+    df: DataFrame,
+    keys: list[str],
+    skew_buckets: int | str,
+    threshold: int = AUTO_SKEW_THRESHOLD,
+) -> int:
+    """Turn ``skew_buckets="auto"`` into a concrete bucket count: ONE
+    small aggregate job finds the hottest key's row count; the split
+    engages only past ``threshold``. Numeric values pass through
+    unchanged (0 = never split). Shared by asof and sessionize."""
+    if skew_buckets != "auto":
+        return int(skew_buckets)
+    hottest = (
+        df.groupBy(*keys)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    return AUTO_SKEW_BUCKETS if (hottest or 0) > threshold else 0
+
 
 def _validate(probe: DataFrame, reference: DataFrame, carry: list[str]):
     overlap = set(carry) & set(probe.columns)
@@ -116,7 +142,7 @@ def asof_backward(
     keys: list[str],
     order: str,
     carry: list[str],
-    skew_buckets: int = 0,
+    skew_buckets: int | str = 0,
 ) -> DataFrame:
     """For each probe row, attach the ``carry`` columns of the LATEST
     reference row with ``reference.order <= probe.order``, per ``keys``.
@@ -138,6 +164,8 @@ def asof_backward(
     whenever every key's history fits one task. N>0 splits each key's
     window across up to N order-range buckets (see module docstring) —
     use for pathological keys (a bot user_id with 10⁸ events).
+    ``"auto"`` spends one small aggregate job to find the hottest key
+    and engages the split only past AUTO_SKEW_THRESHOLD rows.
     """
     return _asof(probe, reference, keys, order, carry, skew_buckets, False)
 
@@ -148,7 +176,7 @@ def asof_forward(
     keys: list[str],
     order: str,
     carry: list[str],
-    skew_buckets: int = 0,
+    skew_buckets: int | str = 0,
 ) -> DataFrame:
     """Mirror of :func:`asof_backward`: attach the EARLIEST reference
     row with ``reference.order >= probe.order`` (the "next reading"
@@ -165,11 +193,12 @@ def _asof(
     keys: list[str],
     order: str,
     carry: list[str],
-    skew_buckets: int,
+    skew_buckets: int | str,
     forward: bool,
 ) -> DataFrame:
     _validate(probe, reference, carry)
     u, _ = _tagged_union(probe, reference, keys, order, carry)
+    skew_buckets = resolve_skew_buckets(u, keys, skew_buckets)
     ord_spec = F.desc(order) if forward else F.asc(order)
     if skew_buckets > 1:
         return _asof_skew_split(u, keys, order, carry, skew_buckets, forward)

@@ -44,18 +44,23 @@ def sessionize(
     keys: list[str],
     order: str,
     gap: float,
-    skew_buckets: int = 0,
+    skew_buckets: int | str = 0,
 ) -> DataFrame:
     """Assign ``session_id`` (per ``keys``, 1-based in event order) to
     every row: a new session starts when the gap from the previous
     row's ``order`` exceeds ``gap``. ``order`` must be numeric (convert
     timestamps with ``unix_micros`` upstream; ``gap`` is then in the
-    same unit). Input columns ride through unchanged.
+    same unit). Input columns ride through unchanged. ``skew_buckets``
+    follows asof.py's contract: 0 = single window, N = split, "auto" =
+    one count job decides against AUTO_SKEW_THRESHOLD.
     """
     reserved = {SESSION_ID, _BUCKET, "_gap_flag"}
     hit = reserved & set(df.columns)
     if hit:
         raise ValueError(f"columns collide with sessionize internals: {hit}")
+    from hoard_spark.asof import resolve_skew_buckets
+
+    skew_buckets = resolve_skew_buckets(df, keys, skew_buckets)
     if skew_buckets > 1:
         return _sessionize_skew_split(df, keys, order, gap, skew_buckets)
     w = Window.partitionBy(*keys).orderBy(order)

@@ -231,3 +231,41 @@ def test_asof_forward_matches_model(spark, refs, probes, skew_buckets):
         else:
             expected[i] = (None, None)
     assert got == expected
+
+
+def test_resolve_skew_buckets(spark):
+    """'auto' costs one count job and engages only past the threshold;
+    numeric values pass through untouched."""
+    from hoard_spark.asof import resolve_skew_buckets
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0)], "k long, o long"
+    )
+    assert resolve_skew_buckets(df, ["k"], 0) == 0
+    assert resolve_skew_buckets(df, ["k"], 16) == 16
+    assert resolve_skew_buckets(df, ["k"], "auto") == 0  # hottest=100
+    assert resolve_skew_buckets(df, ["k"], "auto", threshold=50) == 32
+
+
+def test_asof_auto_matches_explicit(spark):
+    """'auto' below threshold == single-window result."""
+    from hoard_spark.asof import asof_backward
+
+    ref = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, 6.0)], "k long, o long, val double"
+    )
+    probe = spark.createDataFrame(
+        [(0, 1, 15), (1, 1, 25)], "pid long, k long, o long"
+    )
+    base = sorted(
+        map(tuple, asof_backward(probe, ref, ["k"], "o", ["val"]).collect())
+    )
+    auto = sorted(
+        map(
+            tuple,
+            asof_backward(
+                probe, ref, ["k"], "o", ["val"], skew_buckets="auto"
+            ).collect(),
+        )
+    )
+    assert base == auto

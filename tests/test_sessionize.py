@@ -106,3 +106,20 @@ def test_sessionize_reserved_collision_raises(spark):
     df = spark.createDataFrame([(1, 1, 9)], "k long, o long, session_id long")
     with pytest.raises(ValueError):
         sessionize(df, ["k"], "o", 10)
+
+
+def test_sessionize_auto_matches_explicit(spark):
+    df = spark.createDataFrame(
+        [(1, o) for o in (0, 5, 100, 105)], "k long, o long"
+    )
+    base = {
+        (r["k"], r["o"]): r[SESSION_ID]
+        for r in sessionize(df, ["k"], "o", gap=10).collect()
+    }
+    auto = {
+        (r["k"], r["o"]): r[SESSION_ID]
+        for r in sessionize(
+            df, ["k"], "o", gap=10, skew_buckets="auto"
+        ).collect()
+    }
+    assert base == auto == {(1, 0): 1, (1, 5): 1, (1, 100): 2, (1, 105): 2}
