@@ -66,6 +66,7 @@ def sf_of(path: str) -> float:
 
 def main() -> None:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from hoard_spark.queries import all_queries, release_caches
 
@@ -94,9 +95,20 @@ def main() -> None:
 
     shutil.rmtree(artifacts_root(), ignore_errors=True)
 
-    # JVM/codegen warm-up: touch every table once (cheap counts).
+    # JVM/codegen warm-up: touch every table once (cheap counts), then
+    # run one untimed throwaway shuffle+agg job. The counts alone never
+    # exercised the shuffle service / whole-stage-codegen compiler, so
+    # the first timed heavy query (sorted order: q01) absorbed their
+    # spin-up — the source of the 318× q01 headline-ratio artifact
+    # (VERDICT r6 item 4).
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.avg("l_quantity"), F.max("l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -167,7 +179,13 @@ def main() -> None:
     # Final stdout line: complete but compact — qNN short keys and
     # 2-decimal timings keep the whole line inside the driver's tail
     # window, so it parses as one complete JSON object including q01.
-    short = lambda n: n.split("_", 1)[0]  # noqa: E731 — q01..q78 unique
+    # short keys must stay unique across the whole registry (q01..q89
+    # today); assert rather than document, so a future qNN collision
+    # fails loudly instead of silently merging timings
+    short = lambda n: n.split("_", 1)[0]  # noqa: E731
+    assert len({short(n) for n in registry}) == len(registry), (
+        "short query keys collide — fix bench.py's stdout key scheme"
+    )
     worst10 = dict(
         sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
     )

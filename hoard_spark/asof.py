@@ -81,7 +81,14 @@ def _validate(probe: DataFrame, reference: DataFrame, carry: list[str]):
     overlap = set(carry) & set(probe.columns)
     if overlap:
         raise ValueError(f"carry columns collide with probe columns: {overlap}")
-    reserved = {_KIND, _CARRY, _BUCKET, ASOF_ORDER}
+    # includes the skew-split stage-2 intermediates — an input column
+    # named e.g. _carry_in would pass a narrower guard and only break
+    # (ambiguous column) when skew_buckets engages, possibly by surprise
+    # via skew_buckets="auto"
+    reserved = {
+        _KIND, _CARRY, _BUCKET, ASOF_ORDER,
+        "_in_bucket", "_carry_in", "_last_ref",
+    }
     for side, df in (("probe", probe), ("reference", reference)):
         hit = reserved & set(df.columns)
         if hit:
@@ -199,9 +206,10 @@ def _asof(
     _validate(probe, reference, carry)
     u, _ = _tagged_union(probe, reference, keys, order, carry)
     skew_buckets = resolve_skew_buckets(u, keys, skew_buckets)
-    ord_spec = F.desc(order) if forward else F.asc(order)
     if skew_buckets > 1:
+        _check_order_bucketable(u, order)
         return _asof_skew_split(u, keys, order, carry, skew_buckets, forward)
+    ord_spec = F.desc(order) if forward else F.asc(order)
     w = (
         Window.partitionBy(*keys)
         .orderBy(ord_spec, _KIND)
@@ -214,6 +222,26 @@ def _asof(
         F.last(_CARRY, ignorenulls=True).over(w).alias(_CARRY),
     )
     return _unpack(out, carry, _CARRY)
+
+
+def _check_order_bucketable(df: DataFrame, order: str) -> None:
+    """The skew split range-buckets on ``cast(order as double)``. For a
+    non-castable order column (e.g. string) that cast yields nulls, the
+    percentile job returns null, bounds collapse to [] and every row
+    lands in bucket 0 — the caller asked for skew handling (possibly via
+    ``"auto"``) but would silently get the single-task window, the exact
+    failure mode the split exists to avoid. Fail loudly instead."""
+    dtype = dict(df.dtypes)[order]
+    ok = dtype in ("timestamp", "timestamp_ntz", "date") or any(
+        dtype.startswith(p)
+        for p in ("tinyint", "smallint", "int", "bigint", "float",
+                  "double", "decimal")
+    )
+    if not ok:
+        raise TypeError(
+            f"skew_buckets requires a numeric/timestamp order column; "
+            f"got {order!r} of type {dtype}"
+        )
 
 
 def _asof_skew_split(

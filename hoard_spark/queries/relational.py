@@ -1494,26 +1494,36 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey, c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n,
-           list_sort(list(c_custkey)) AS custkeys
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
     FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0)
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "relational surface: deterministic collect (VERDICT r5 item 8 — "
     "collect_list order is undefined in both engines; array_sort after "
-    "the fact is the portable determinism contract)",
+    "the fact is the portable determinism contract; projected to a "
+    "joined string per VERDICT r6 item 1 so the result is scalar-typed "
+    "and hashable by any harness)",
 )
 def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``collect_list`` is partition-order-dependent in Spark (and
     ``list()`` likewise in DuckDB); the deterministic form sorts the
-    built array JVM-side. The filter keeps arrays bounded (the rule for
-    ANY collect at 100 TB: collect only provably small groups — an
-    unbounded collect_list is a scale bug, not an operator)."""
+    built array JVM-side, then joins it to a string so downstream
+    consumers (and result hashers) see a scalar column. The filter keeps
+    arrays bounded (the rule for ANY collect at 100 TB: collect only
+    provably small groups — an unbounded collect_list is a scale bug,
+    not an operator)."""
     c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
     return (
         c.groupBy("c_nationkey", "c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("c_custkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("custkeys"),
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )

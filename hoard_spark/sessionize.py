@@ -54,7 +54,12 @@ def sessionize(
     follows asof.py's contract: 0 = single window, N = split, "auto" =
     one count job decides against AUTO_SKEW_THRESHOLD.
     """
-    reserved = {SESSION_ID, _BUCKET, "_gap_flag"}
+    # includes the skew-split intermediates, so a collision fails fast
+    # even when the split only engages later via skew_buckets="auto"
+    reserved = {
+        SESSION_ID, _BUCKET, "_gap_flag",
+        "_local_sid", "_offset", "_merge", "_first", "_last", "_n_sess",
+    }
     hit = reserved & set(df.columns)
     if hit:
         raise ValueError(f"columns collide with sessionize internals: {hit}")

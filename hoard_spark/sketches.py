@@ -214,9 +214,15 @@ def quantile_estimate(
         idx = F.size(
             F.filter(F.col("_cum"), lambda c: c.cast("double") < target)
         ) + F.lit(1)
-        lo_cum = F.coalesce(
-            F.try_element_at(F.col("_cum"), idx - 1), F.lit(0).cast("long")
-        ).cast("double")
+        # idx==1 must be branch-guarded, not coalesced: Spark rejects
+        # array index 0 with INVALID_INDEX_OF_ZERO even in
+        # try_element_at, so try_element_at(_cum, 0) errors rather than
+        # returning null (any q <= 1/bins lands here).
+        lo_cum = (
+            F.when(idx == 1, F.lit(0).cast("long"))
+            .otherwise(F.try_element_at(F.col("_cum"), idx - 1))
+            .cast("double")
+        )
         cnt = F.try_element_at(F.col("counts"), idx).cast("double")
         # bin edges: [vmin, b_1 .. b_{n-1}, vmax]
         lo = F.when(idx == 1, F.col("vmin")).otherwise(

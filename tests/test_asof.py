@@ -102,7 +102,13 @@ def test_asof_reserved_names_raise(spark):
     import pytest
 
     ref_df = spark.createDataFrame([(1, 1, 1.0)], "k long, o long, val double")
-    for bad in ("_kind", "asof_order", "_asof_carry", "_asof_bucket"):
+    # stage-2 skew-split intermediates included (ADVICE r6): a collision
+    # with those would otherwise break only when skew_buckets engages —
+    # possibly by surprise via skew_buckets="auto"
+    for bad in (
+        "_kind", "asof_order", "_asof_carry", "_asof_bucket",
+        "_in_bucket", "_carry_in", "_last_ref",
+    ):
         probe_bad = spark.createDataFrame(
             [(1, 1, 7)], f"k long, o long, `{bad}` long"
         )
@@ -269,3 +275,49 @@ def test_asof_auto_matches_explicit(spark):
         )
     )
     assert base == auto
+
+
+def test_asof_skew_split_rejects_non_numeric_order(spark):
+    """Regression (ADVICE r6): with a string order column the skew
+    split's cast('double') yields nulls → empty bounds → everything in
+    bucket 0, i.e. the single-task window the caller asked to avoid.
+    That degradation must be a loud TypeError, not silent."""
+    import pytest
+
+    ref_df = spark.createDataFrame(
+        [(1, "a", 1.0)], "k long, o string, val double"
+    )
+    probe_df = spark.createDataFrame([(1, "b")], "k long, o string")
+    with pytest.raises(TypeError, match="numeric/timestamp"):
+        asof_backward(
+            probe_df, ref_df, keys=["k"], order="o", carry=["val"],
+            skew_buckets=4,
+        ).collect()
+    # the single-window plan still accepts orderable non-numeric columns
+    out = asof_backward(
+        probe_df, ref_df, keys=["k"], order="o", carry=["val"]
+    ).collect()
+    assert out[0]["val"] == 1.0 and out[0][ASOF_ORDER] == "a"
+
+
+def test_asof_skew_split_timestamp_order(spark):
+    """Timestamps are bucketable (cast to epoch-seconds double) — the
+    dtype guard must let them through and the split must agree with the
+    single-window plan."""
+    ref_df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-03 00:00:00", 3.0)],
+        "k long, o string, val double",
+    ).withColumn("o", F.to_timestamp("o"))
+    probe_df = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (1, "2024-01-04 00:00:00")],
+        "k long, o string",
+    ).withColumn("o", F.to_timestamp("o"))
+    single = asof_backward(
+        probe_df, ref_df, keys=["k"], order="o", carry=["val"]
+    ).orderBy("o").collect()
+    split = asof_backward(
+        probe_df, ref_df, keys=["k"], order="o", carry=["val"],
+        skew_buckets=2,
+    ).orderBy("o").collect()
+    assert [r["val"] for r in single] == [1.0, 3.0]
+    assert [r.asDict() for r in single] == [r.asDict() for r in split]

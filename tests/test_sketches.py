@@ -163,3 +163,44 @@ def test_quantile_rows_accounting(spark, value_events):
         ) != F.col("rows")
     ).count()
     assert bad == 0
+
+
+def test_quantile_first_bin_low_q(spark, value_events):
+    """Regression (ADVICE r6): any q <= 1/bins lands in histogram bin 1,
+    where lo_cum must NOT evaluate try_element_at(_cum, 0) — Spark
+    rejects array index 0 (INVALID_INDEX_OF_ZERO) even in
+    try_element_at. Pin both that the call succeeds and that the
+    estimate's rank is within the grid bound."""
+    from hoard_spark.sketches import (
+        merge_quantile,
+        quantile_estimate,
+        quantile_sketch_table,
+    )
+
+    bins = 64
+    daily = quantile_sketch_table(
+        value_events, ["event_type", "day"], "value", bins=bins
+    )
+    qs = [0.01, 1.0 / bins]  # both strictly inside bin 1 on uniform data
+    est = quantile_estimate(
+        merge_quantile(daily, ["event_type"]), qs
+    ).select("event_type", "approx_quantiles")
+    rows = est.collect()  # pre-fix this raised INVALID_INDEX_OF_ZERO
+    assert rows
+    joined = value_events.join(
+        F.broadcast(est), "event_type"
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.col("value") <= F.element_at("approx_quantiles", i + 1))
+                .cast("long")
+            ).alias(f"le_{i}")
+            for i in range(len(qs))
+        ],
+    )
+    slack = 1.0 / bins + 0.02
+    for r in joined.collect():
+        for i, q in enumerate(qs):
+            rank = r[f"le_{i}"] / r["n"]
+            assert abs(rank - q) <= slack, (r["event_type"], q, rank)
