@@ -378,21 +378,21 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q36_simhash_neardup",
-    "SimHash near-dup pairs: 64-bit shingle signature, 16-bit-band "
-    "candidates, hamming <= 8",
-    None,  # engine-only: xxhash64-derived signatures have no DuckDB twin
-    "training-data pipeline: SimHash dedup (VERDICT r1)",
-)
-def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Features are 3-gram SHINGLES, not unigrams: the synthetic corpus
-    # reuses a tiny vocabulary, so unigram simhashes collapse (hamming<=3
-    # between unrelated docs); shingles make the signature discriminative.
-    # bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0),
-    # computed as codegen'd SUM aggregates over the shingle rows — one
-    # shuffle, map-side partial agg, fully whole-stage-codegen.
-    feats = _shingle_rows(spark, sf_dir).select(
+def simhash_pairs(docs: DataFrame, threshold: int = 8) -> DataFrame:
+    """SimHash near-dup pairs over any documents frame → (a_id, b_id,
+    hamming): 64-bit shingle signature, 16-bit-band candidate join,
+    hamming <= ``threshold`` exact verify. The general library form; the
+    conformance twin q36 runs it over a planted-clone corpus so the
+    driver can hash-check it (VERDICT r6 item 3).
+
+    Features are 3-gram SHINGLES, not unigrams: the synthetic corpus
+    reuses a tiny vocabulary, so unigram simhashes collapse (hamming<=3
+    between unrelated docs); shingles make the signature discriminative.
+    bit-vote: +1/-1 per shingle per bit, simhash bit b = (vote >= 0),
+    computed as codegen'd SUM aggregates over the shingle rows — one
+    shuffle, map-side partial agg, fully whole-stage-codegen.
+    """
+    feats = shingle_rows_of(docs).select(
         "doc_id", F.xxhash64("s").alias("fh")
     )
     # vote_b = (+1 per set bit, -1 per clear bit) = 2*sum(bit_b) - n, so
@@ -471,9 +471,55 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= 8)
+        .where(F.col("hamming") <= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+# Clone ids live far above any real doc_id (sf0.1 tops out at 4999), and
+# the 3-token gate mirrors shingle_rows_of's "docs with <3 tokens yield
+# no shingles" edge in portable SQL (the corpus has no runs of spaces —
+# verified at every SF — so spaces+1 == token count).
+_CLONE_OFFSET = 1_000_000
+_CLONE_PRED = (
+    "doc_id % 20 = 0 AND "
+    "length(trim(text)) - length(replace(trim(text), ' ', '')) >= 2"
+)
+
+
+@query(
+    "q36_simhash_neardup",
+    "SimHash near-dup: planted exact clones (doc_id % 20, id + 1e6) must "
+    "be recovered by the 64-bit signature + band-join + hamming pipeline",
+    # The xxhash64-derived signatures have no DuckDB twin, but an exact
+    # clone's signature is bit-identical by construction, so the pipeline
+    # must surface exactly the planted pairs at hamming 0 — an
+    # oracle-checkable contract (the q47 planted-clone trick). Genuine
+    # near-miss behavior (hamming 1..8) is pinned by
+    # tests/test_llm_queries.py::test_simhash_* on the raw corpus.
+    f"""
+    SELECT doc_id AS a_id,
+           doc_id + {_CLONE_OFFSET} AS b_id,
+           0 AS hamming
+    FROM documents
+    WHERE {_CLONE_PRED}
+    ORDER BY a_id
+    """,
+    "training-data pipeline: SimHash dedup (VERDICT r1; planted-clone "
+    "oracle per VERDICT r6 item 3)",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clones = docs.where(F.expr(_CLONE_PRED)).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_CLONE_OFFSET)
+    )
+    pairs = simhash_pairs(docs.unionByName(clones))
+    # keep only the planted pairs: the raw corpus's own near-dups (and a
+    # clone's matches against OTHER docs) are not SQL-predictable
+    return pairs.where(
+        (F.col("b_id") - F.col("a_id") == _CLONE_OFFSET)
+        & (F.col("a_id") < _CLONE_OFFSET)
+    ).orderBy("a_id")
 
 
 @query(
@@ -789,13 +835,57 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q43_doc_fingerprint",
     "winnowing fingerprints: 5-gram rolling hashes, window-4 minima",
-    None,  # engine-only: xxhash64-derived fingerprints have no DuckDB twin
-    "training-data pipeline: document fingerprinting (VERDICT r1)",
+    # Gram hash = base-257 positional encoding of the 5 character codes:
+    # INJECTIVE for single-byte text (the corpus is pure printable ASCII
+    # at every SF — verified), so it is a strictly collision-free
+    # "perfect" rolling hash AND portable SQL — which converts this from
+    # a declared engine-only check (xxhash64 grams, VERDICT r5) to a
+    # full value-hash oracle (VERDICT r6 item 3). DuckDB twin of the
+    # identical pipeline:
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(
+          generate_series(1, greatest(length(text) - 4, 1)),
+          i -> ascii(text[i]) * {257**4}
+             + ascii(text[i+1]) * {257**3}
+             + ascii(text[i+2]) * {257**2}
+             + ascii(text[i+3]) * 257
+             + ascii(text[i+4])
+        ) AS grams
+      FROM documents WHERE length(text) >= 8
+    ),
+    f AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(grams) - 3, 1)),
+          j -> list_min(grams[j:j+3])
+        )) AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           list_min(fps) AS fp_min, list_max(fps) AS fp_max
+    FROM f ORDER BY doc_id
+    """,
+    "training-data pipeline: document fingerprinting (VERDICT r1; "
+    "portable-hash oracle per VERDICT r6 item 3)",
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): per doc, hash every
+    5-char gram, keep each window-4 minimum, distinct. The length>=8
+    filter guarantees every element_at/slice index below stays in
+    bounds. Character codes are materialized ONCE per doc (split to a
+    char array) so gram assembly is O(1) array indexing, not an O(i)
+    substr seek per gram — the difference between O(L) and O(L²) per
+    document on 100 KB docs."""
+    codes = F.expr("transform(split(text, ''), c -> ascii(c))")
     grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 4, 1)), "
-        "i -> xxhash64(substr(text, CAST(i AS INT), 5)))"
+        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> "
+        f"element_at(codes, CAST(i AS INT)) * {257**4}L"
+        f" + element_at(codes, CAST(i AS INT) + 1) * {257**3}L"
+        f" + element_at(codes, CAST(i AS INT) + 2) * {257**2}L"
+        " + element_at(codes, CAST(i AS INT) + 3) * 257L"
+        " + element_at(codes, CAST(i AS INT) + 4))"
     )
     fps = F.expr(
         "array_distinct(transform(sequence(1, greatest(size(grams) - 3, 1)), "
@@ -808,6 +898,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rolling-hash pipeline is per-row compute-bound; fan the
         # single-file scan across all cores before evaluating it
         .repartition(ncores, "doc_id")
+        .select("doc_id", "text", codes.alias("codes"))
         .select("doc_id", grams.alias("grams"))
         .select("doc_id", fps.alias("fps"))
         .select(

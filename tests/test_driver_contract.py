@@ -35,11 +35,9 @@ def test_queries_and_oracles_line_up():
     # every oracle key is a query; engine-only queries may omit oracles
     assert set(oracles) <= set(qs)
     # the declared engine-only set is exactly the oracle-less remainder
-    assert set(qs) - set(oracles) == {
-        "q36_simhash_neardup",
-        "q39_ann_ivf",
-        "q43_doc_fingerprint",
-    }
+    # (q36 gained a planted-clone oracle and q43 a portable-hash oracle
+    # in round 7; q39's IVF recall pin legitimately stays engine-only)
+    assert set(qs) - set(oracles) == {"q39_ann_ivf"}
 
 
 def test_first_50_covers_all_priority_entries():

@@ -217,3 +217,38 @@ def test_approx_percentile_smoke(spark):
         ).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.01
+
+
+def test_simhash_pairs_near_miss_and_planted_clone(spark):
+    """q36's registered form only surfaces planted exact clones (the
+    oracle-checkable projection); this pins the general library form on
+    the behaviors SQL can't express: a lightly-perturbed doc pairs with
+    its original at 1 <= hamming <= 8, an unrelated doc does not pair,
+    and an exact clone lands at hamming 0."""
+    from hoard_spark.queries.llm import simhash_pairs
+
+    words = [f"tok{i}" for i in range(120)]
+    base = " ".join(words)
+    # one word swapped out of 120: 3 of 118 shingles differ (~2.5%), a
+    # textbook near-miss — the signature should land within hamming 8
+    perturbed = " ".join(
+        "zzz" if i == 60 else w for i, w in enumerate(words)
+    )
+    unrelated = " ".join(f"other{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "t"),
+            (2, perturbed, "en", "t"),
+            (3, unrelated, "en", "t"),
+            (4, base, "en", "t"),  # exact clone of 1
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_pairs(docs).collect()
+    }
+    assert got.get((1, 4)) == 0, got
+    assert (1, 2) in got and 1 <= got[(1, 2)] <= 8, got
+    assert got.get((2, 4)) == got[(1, 2)], got  # clone mirrors its source
+    assert not any(3 in p for p in got), got
