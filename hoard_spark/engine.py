@@ -33,9 +33,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import zlib
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,6 +73,11 @@ _ROLLUP_READ_SCHEMA = T.StructType(
 )
 
 
+# partition-dir values Spark writes verbatim (no escaping); the driver-side
+# fetch fast path only handles these
+_SAFE_PART_RE = re.compile(r"[A-Za-z0-9._-]+\Z")
+
+
 def _day_start(date_str: str) -> int:
     dt = datetime.strptime(date_str, "%Y-%m-%d").replace(tzinfo=timezone.utc)
     return int(dt.timestamp())
@@ -83,6 +89,7 @@ class HoardEngine:
         spark: SparkSession,
         warehouse_dir: str,
         metric_buckets: int | None = None,
+        fetch_driver_max_files: int = 32,
     ):
         """``metric_buckets``: opt-in hash-bucketed layout for very-high-
         cardinality metric spaces. With N buckets the partition scheme is
@@ -96,6 +103,9 @@ class HoardEngine:
         """
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        # fetch() windows whose pruned partition list is at most this many
+        # parquet files are read driver-side (no Spark job); 0 disables
+        self.fetch_driver_max_files = fetch_driver_max_files
         self.fs = WarehouseFS(spark)  # data plane: works on file://, HDFS, S3
         self.catalog = Catalog(warehouse_dir)
         self.points_path = os.path.join(warehouse_dir, "points")
@@ -592,9 +602,94 @@ class HoardEngine:
     def fetch(
         self, metric: str, from_ts: int, to_ts: int, now: int | None = None
     ) -> tuple[TimeInfo, list[float | None]]:
-        """Range query (O7): ``(timeInfo, values)`` exactly as the reference."""
-        ti, result = self.fetch_dataframe(metric, from_ts, to_ts, now)
-        return ti, collect_values(result, ti)
+        """Range query (O7): ``(timeInfo, values)`` exactly as the reference.
+
+        Small windows short-circuit the Spark job entirely (VERDICT r6
+        item 6): a dashboard fetch whose pruned partition list is at most
+        ``fetch_driver_max_files`` parquet files is read driver-side
+        through the Hadoop FS API and LWW-merged in Python — identical
+        values (property-pinned vs the Spark path), ~ms latency instead
+        of the ~0.5 s per-job floor. Wide windows, unmaterialized coarse
+        tiers, and escaped metric names fall through to the Spark plan.
+        """
+        now = int(now if now is not None else time.time())
+        info = self.catalog.info(metric)
+        archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
+        fast = self._fetch_fast_values(metric, archive.tier, ti)
+        if fast is not None:
+            return ti, fast
+        view = self.tier_view(
+            metric, archive.tier, ts_range=(ti.from_interval, ti.to_interval)
+        )
+        return ti, collect_values(fetch_df(view, ti), ti)
+
+    def _fetch_fast_values(
+        self, metric: str, tier: int, ti: TimeInfo
+    ) -> list[float | None] | None:
+        """Driver-side fetch over the pruned partition files, or None to
+        fall back to the Spark plan. Reads the SAME physical table the
+        Spark path would scan (tier-0 points with Python LWW max-by-seq,
+        or the materialized rollup), so the result is identical by
+        construction; an on-the-fly cascade (tier>0, not materialized)
+        always falls back."""
+        if self.fetch_driver_max_files <= 0:
+            return None
+        if tier > 0 and not self._is_materialized(tier, metric):
+            return None
+        if not _SAFE_PART_RE.match(metric):
+            # Spark escapes special chars in partition-dir values; rather
+            # than reimplement that encoding, route such names to Spark
+            return None
+        root = self.points_path if tier == 0 else self.rollups_path
+        mid = (
+            f"mb={self._mb_of(metric)}"
+            if self.metric_buckets
+            else f"metric={metric}"
+        )
+        # same date span as _date_pred: date(from_interval)..date(to_interval)
+        lo_d = datetime.fromtimestamp(ti.from_interval, tz=timezone.utc).date()
+        hi_d = datetime.fromtimestamp(ti.to_interval, tz=timezone.utc).date()
+        files: list[str] = []
+        d = lo_d
+        while d <= hi_d:
+            dirp = f"{root}/tier={tier}/{mid}/date={d.isoformat()}"
+            for name in self.fs.listdir(dirp):
+                if name.endswith(".parquet"):
+                    files.append(f"{dirp}/{name}")
+                    if len(files) > self.fetch_driver_max_files:
+                        return None
+            d += timedelta(days=1)
+
+        import io
+
+        import pyarrow.parquet as pq
+
+        # tier 0: LWW merge (max seq wins per bucket); tier>0: rollup rows
+        # are unique per bucket already
+        best: dict[int, tuple[int, float | None]] = {}
+        for fpath in files:
+            pf = pq.ParquetFile(io.BytesIO(self.fs.read_bytes(fpath)))
+            phys = {c.name for c in pf.schema_arrow}
+            want = [c for c in ("metric", "bucket_ts", "value", "seq")
+                    if c in phys]
+            tbl = pf.read(columns=want)
+            bt = tbl["bucket_ts"].to_pylist()
+            vv = tbl["value"].to_pylist()
+            mm = tbl["metric"].to_pylist() if "metric" in phys else None
+            sq = tbl["seq"].to_pylist() if tier == 0 else None
+            for i, b in enumerate(bt):
+                if mm is not None and mm[i] != metric:
+                    continue
+                if not (ti.from_interval <= b < ti.to_interval):
+                    continue
+                s = sq[i] if sq is not None else 0
+                if b not in best or s > best[b][0]:
+                    best[b] = (s, vv[i])
+        n = max(0, (ti.to_interval - ti.from_interval) // ti.step)
+        values: list[float | None] = [None] * n
+        for b, (_, v) in best.items():
+            values[(b - ti.from_interval) // ti.step] = v
+        return values
 
     def fetch_dataframe(
         self, metric: str, from_ts: int, to_ts: int, now: int | None = None

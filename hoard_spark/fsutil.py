@@ -14,6 +14,8 @@ see hoard_spark/catalog.py); only the data plane goes through Hadoop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -23,6 +25,23 @@ class WarehouseFS:
     def __init__(self, spark: SparkSession):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._default_local = str(
+            self._conf.get("fs.defaultFS", "file:///")
+        ).startswith("file:")
+
+    def _local_path(self, p: str) -> str | None:
+        """OS path when ``p`` resolves to the local filesystem, else None.
+
+        Latency-sensitive callers (the driver-side fetch short-circuit)
+        use this to bypass the ~5-10 ms/py4j-call JVM round-trips: a
+        file:// or scheme-less-on-local-defaultFS path reads straight
+        through Python I/O with identical bytes. Remote schemes always
+        take the Hadoop stream path."""
+        if p.startswith("file://"):
+            return p[len("file://"):] or "/"
+        if "://" not in p and self._default_local:
+            return p
+        return None
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -68,6 +87,12 @@ class WarehouseFS:
         return fs.exists(hp) and fs.getFileStatus(hp).isDirectory()
 
     def listdir(self, p: str) -> list[str]:
+        lp = self._local_path(p)
+        if lp is not None:
+            try:
+                return sorted(os.listdir(lp))
+            except (FileNotFoundError, NotADirectoryError):
+                return []
         fs = self._fs(p)
         hp = self._path(p)
         if not fs.exists(hp):
@@ -75,6 +100,25 @@ class WarehouseFS:
         return sorted(
             st.getPath().getName() for st in fs.listStatus(hp)
         )
+
+    def read_bytes(self, p: str) -> bytes:
+        """Whole-file read through the Hadoop stream API (works on
+        file://, HDFS, S3). Intended for SMALL files — the driver-side
+        fetch short-circuit reads a handful of KB-sized partition files;
+        anything bigger belongs in a Spark scan."""
+        lp = self._local_path(p)
+        if lp is not None:
+            with open(lp, "rb") as f:
+                return f.read()
+        fs = self._fs(p)
+        stream = fs.open(self._path(p))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        finally:
+            stream.close()
+        return bytes(data)
 
     def rmtree(self, p: str) -> None:
         fs = self._fs(p)
