@@ -705,6 +705,43 @@ class HoardEngine:
         )
         return ti, fetch_df(view, ti)
 
+    def fetch_many(
+        self,
+        metrics: list[str],
+        from_ts: int,
+        to_ts: int,
+        now: int | None = None,
+    ) -> tuple[TimeInfo, dict[str, list[float | None]]]:
+        """Scalar dashboard fetch: ``(timeInfo, {metric: values})``.
+
+        Small windows answer driver-side per series (the fetch()
+        short-circuit; ~ms per series, a 20-series dashboard stays well
+        under one Spark job's floor — co-bucketed series re-read shared
+        files, acceptable at these sizes). If ANY series exceeds the
+        file budget or needs an on-the-fly cascade, the whole request
+        falls back to fetch_many_dataframe's single pruned scan.
+        """
+        now = int(now if now is not None else time.time())
+        info = self._require_shared_policy(metrics, "fetch_many")
+        archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
+        fast: dict[str, list[float | None]] | None = {}
+        for m in metrics:
+            v = self._fetch_fast_values(m, archive.tier, ti)
+            if v is None:
+                fast = None
+                break
+            fast[m] = v
+        if fast is not None:
+            return ti, fast
+        ti, df = self.fetch_many_dataframe(metrics, from_ts, to_ts, now)
+        n = max(0, (ti.to_interval - ti.from_interval) // ti.step)
+        out: dict[str, list[float | None]] = {m: [None] * n for m in metrics}
+        for row in df.collect():
+            idx = (row["bucket_ts"] - ti.from_interval) // ti.step
+            if 0 <= idx < n:
+                out[row["metric"]][idx] = row["value"]
+        return ti, out
+
     def fetch_many_dataframe(
         self,
         metrics: list[str],

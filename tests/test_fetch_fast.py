@@ -159,3 +159,33 @@ def test_bucketed_layout_fast_path(spark, tmp_path):
         ti_f, v_f = eng.fetch(m, NOW - 3 * 3600, NOW, now=NOW)
         ti_s, v_s = slow.fetch(m, NOW - 3 * 3600, NOW, now=NOW)
         assert v_f == v_s and want in v_f
+
+
+def test_fetch_many_scalar_parity_and_fallback(loaded):
+    """fetch_many (scalar): per-series fast path must equal per-metric
+    fetch(); the forced-Spark fallback must equal it too."""
+    eng, slow = loaded
+    frm, to = NOW - 20 * 3600, NOW
+    ti_m, series = eng.fetch_many(["cpu.load"], frm, to, now=NOW)
+    ti_1, v_1 = eng.fetch("cpu.load", frm, to, now=NOW)
+    assert tuple(ti_m) == tuple(ti_1) and series == {"cpu.load": v_1}
+    ti_s, series_s = slow.fetch_many(["cpu.load"], frm, to, now=NOW)
+    assert tuple(ti_s) == tuple(ti_m) and series_s == series
+
+
+def test_fetch_many_scalar_multi_series(spark, tmp_path):
+    eng = _mk(spark, tmp_path, name="many")
+    for m in ("s.a", "s.b"):
+        eng.create(m, [(3600, 48)])
+    eng.update_many("s.a", [(NOW - 2 * 3600 + 5, 1.0)], now=NOW)
+    eng.update_many("s.b", [(NOW - 3 * 3600 + 5, 2.0)], now=NOW)
+    ti, series = eng.fetch_many(["s.a", "s.b"], NOW - 4 * 3600, NOW, now=NOW)
+    assert set(series) == {"s.a", "s.b"}
+    assert 1.0 in series["s.a"] and 2.0 in series["s.b"]
+    slow = HoardEngine(
+        spark, str(tmp_path / "many"), fetch_driver_max_files=0
+    )
+    ti_s, series_s = slow.fetch_many(
+        ["s.a", "s.b"], NOW - 4 * 3600, NOW, now=NOW
+    )
+    assert tuple(ti) == tuple(ti_s) and series == series_s
