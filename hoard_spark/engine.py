@@ -845,6 +845,33 @@ class HoardEngine:
         return self.spark.sql(query)
 
     # --------------------------------------------------------- maintenance
+    def partition_file_counts(
+        self, metric: str, tier: int = 0
+    ) -> dict[str, int]:
+        """Parquet file count per date partition of one metric's points —
+        the compaction cadence signal: a dir above
+        ``fetch_driver_max_files`` pushes small fetches off the driver
+        short-circuit and onto a full Spark job, so "any dir > budget"
+        means it is time for ``compact(metric)`` (which rewrites each
+        partition to exactly one file). One listStatus per date dir,
+        scoped to the metric's (tier, metric|mb) branch."""
+        sub = (
+            f"mb={self._mb_of(metric)}"
+            if self.metric_buckets
+            else f"metric={metric}"
+        )
+        root = f"{self.points_path}/tier={tier}/{sub}"
+        out: dict[str, int] = {}
+        for d in self.fs.listdir(root):
+            if not d.startswith("date="):
+                continue
+            out[d[len("date="):]] = sum(
+                1
+                for f in self.fs.listdir(f"{root}/{d}")
+                if f.endswith(".parquet")
+            )
+        return out
+
     def compact(self, metric: str | None = None) -> None:
         """Fold LWW physically: rewrite each tier's points with one row per
         bucket (keeps max seq so later appends still win correctly).
@@ -880,7 +907,15 @@ class HoardEngine:
             )
         tmp = self.points_path + "_compacting"
         (
-            folded.sortWithinPartitions("metric", "bucket_ts")
+            # cluster rows by their output partition first: after the LWW
+            # groupBy the rows of one (tier, metric, date) are scattered
+            # across tasks, and a direct write would leave up to
+            # shuffle.partitions files per partition dir — defeating the
+            # point of compaction (bounded read-side file counts, and the
+            # fetch short-circuit's file budget). One extra shuffle buys
+            # exactly ONE file per partition dir.
+            folded.repartition(*self._part_cols)
+            .sortWithinPartitions("metric", "bucket_ts")
             .write.partitionBy(*self._part_cols)
             .mode("overwrite")
             .parquet(tmp)

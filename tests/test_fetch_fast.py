@@ -189,3 +189,31 @@ def test_fetch_many_scalar_multi_series(spark, tmp_path):
         ["s.a", "s.b"], NOW - 4 * 3600, NOW, now=NOW
     )
     assert tuple(ti) == tuple(ti_s) and series == series_s
+
+
+def test_compact_bounds_file_counts_and_fast_path_survives(loaded):
+    """compact() must leave exactly ONE parquet file per (tier, metric,
+    date) partition — the groupBy scatters partition rows across tasks,
+    so without the re-clustering repartition a compacted dir could hold
+    up to shuffle.partitions files, defeating both the read-side bound
+    and the fetch short-circuit's file budget. After compaction the
+    fast path must still match the Spark path, and a window that
+    previously exceeded a tight budget must now fit it."""
+    eng, slow = loaded
+    before = eng.partition_file_counts("cpu.load")
+    assert before and max(before.values()) > 1  # fixture appends fan out
+    eng.compact("cpu.load")
+    after = eng.partition_file_counts("cpu.load")
+    assert after and set(after.values()) == {1}, after
+    # tight budget: a 1-day window now touches at most 2 files
+    eng.fetch_driver_max_files = 2
+    frm, to = NOW - DAY, NOW
+    ti_f, v_f = eng.fetch("cpu.load", frm, to, now=NOW)
+    ti_s, v_s = slow.fetch("cpu.load", frm, to, now=NOW)
+    assert tuple(ti_f) == tuple(ti_s) and v_f == v_s
+    from hoard_spark.fetch import plan_fetch
+
+    archive, ti = plan_fetch(
+        eng.catalog.info("cpu.load"), frm, to, NOW
+    )
+    assert eng._fetch_fast_values("cpu.load", archive.tier, ti) is not None
