@@ -576,9 +576,15 @@ class HoardEngine:
                     )
                 out = out.unionByName(keep.select(*cols))
             (
-                # cluster by metric within each bucket partition so parquet
+                # cluster rows by output partition (one file per replaced
+                # (tier, mb|metric, date) dir instead of one per write
+                # task — the rollup dirs are fetch-short-circuit read
+                # targets; the shuffled frame is partition-scoped and
+                # rollup-sized, so the extra exchange is cheap even per
+                # micro-batch), then by metric within each file so parquet
                 # min/max statistics on `metric` skip row groups at read
-                out.sortWithinPartitions("metric", "bucket_ts")
+                out.repartition(*self._part_cols)
+                .sortWithinPartitions("metric", "bucket_ts")
                 .write.partitionBy(*self._part_cols)
                 # set dynamic overwrite ON THE WRITER: correctness must not
                 # depend on spark.sql.sources.partitionOverwriteMode in the
