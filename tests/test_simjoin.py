@@ -119,3 +119,51 @@ def test_simjoin_rejects_bad_threshold(spark):
     for t in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             jaccard_similarity_join(sh, t)
+
+
+def _brute_topk(sets, k):
+    scored = []
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union:
+                scored.append((round(inter / union, 4), a, b))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return scored[:k]
+
+
+def test_topk_ladder_matches_brute_force(spark):
+    """topk_similar_pairs: the rung that yields >= k pairs contains the
+    exact global top-k (prefix-filter completeness), so the result must
+    equal brute force — on a corpus whose top-k IS above the floor."""
+    from hoard_spark.simjoin import topk_similar_pairs
+
+    docs = _corpus(7)  # planted clone + one-edit + half-rewrite pairs
+    sets = _shingle_sets(docs)
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+    k = 3
+    got = [
+        (r["jaccard"], r["a_id"], r["b_id"])
+        for r in topk_similar_pairs(sh, k).collect()
+    ]
+    assert got == _brute_topk(sets, k), got
+
+
+def test_topk_ladder_raises_below_floor(spark):
+    """A corpus whose kth-best similarity is under every rung must be
+    surfaced as a contract problem, not silently brute-forced."""
+    from hoard_spark.simjoin import topk_similar_pairs
+
+    # disjoint vocabularies -> all pairwise Jaccard = 0
+    sh = spark.createDataFrame(
+        [(i, f"tok{i}-{j}") for i in range(6) for j in range(5)],
+        "doc_id long, s string",
+    )
+    with pytest.raises(ValueError, match="ladder floor"):
+        topk_similar_pairs(sh, 2)
