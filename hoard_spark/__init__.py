@@ -17,8 +17,14 @@ Layout:
     engine.py     — HoardEngine facade tying the above together
     session.py    — tuned SparkSession builder
     functions/    — scalar helpers (bucket alignment, spines, vector math)
-    operators/    — LLM-pipeline operators (dedup, similarity, text, multimodal)
-    streaming/    — Structured Streaming ingest (foreachBatch incremental)
+    queries/      — the 89-query conformance surface (SURVEY.md §2C)
+    pipeline.py / ann.py / asof.py / sessionize.py / simjoin.py /
+    intervals.py / diff.py / sketches.py / multimodal.py / bucketing.py
+                  — composable library operators (dedup, similarity,
+                    windows, sketches, media) behind the queries
+    sources/      — Whisper binary import/export, document corpus, media
+    streaming/    — Structured Streaming ingest (foreachBatch incremental),
+                    stateful LWW changelog, incremental near-dup/sketches
 """
 
 from hoard_spark.catalog import Catalog, MetricInfo, ArchiveInfo
