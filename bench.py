@@ -56,6 +56,13 @@ NOTES = {
         "arithmetic); pays one extra small job locally to avoid the "
         "single-partition global window that cannot scale"
     ),
+    "q36_simhash_neardup": (
+        "ratio vs DuckDB is an artifact since round 7: the oracle "
+        "PREDICTS the planted-clone pairs with a trivial filter while "
+        "the engine runs the full signature+band+hamming pipeline to "
+        "FIND them — the pipeline cost is the product, the oracle is "
+        "just the answer key"
+    ),
 }
 
 
@@ -146,11 +153,16 @@ def main() -> None:
     duck = _bench_duckdb(registry)
 
     # Engine-vs-DuckDB ratios (>1 = engine slower), per query and suite-wide
-    # over the comparable set (both sides timed, oracle not interrupted).
+    # over the comparable set (both sides timed, oracle not interrupted,
+    # and the oracle actually an EQUIVALENT computation — q36's oracle
+    # just predicts the planted pairs with a filter while the engine runs
+    # the full LSH pipeline to find them, so its ratio is meaningless;
+    # raw timings for excluded queries stay in `queries`/`duckdb`).
+    RATIO_EXCLUDE = {"q36_simhash_neardup"}
     ratios = {
         n: round(timings[n] / duck[n], 2)
         for n in timings
-        if duck.get(n, -1) > 0
+        if duck.get(n, -1) > 0 and n not in RATIO_EXCLUDE
     }
     eng_comp = sum(timings[n] for n in ratios)
     duck_comp = sum(duck[n] for n in ratios)
