@@ -655,6 +655,14 @@ class HoardEngine:
         # same date span as _date_pred: date(from_interval)..date(to_interval)
         lo_d = datetime.fromtimestamp(ti.from_interval, tz=timezone.utc).date()
         hi_d = datetime.fromtimestamp(ti.to_interval, tz=timezone.utc).date()
+        # budget the dir LISTINGS as well as the files: each date dir is
+        # one filesystem round trip (an RPC on S3/HDFS), so a years-wide
+        # window over a sparse metric must not walk ~1100 dirs just to
+        # discover it should fall back — even though its few files might
+        # technically fit the file budget, Spark's listing is parallel
+        # and the driver's is not
+        if (hi_d - lo_d).days + 1 > max(2 * self.fetch_driver_max_files, 8):
+            return None
         files: list[str] = []
         d = lo_d
         while d <= hi_d:

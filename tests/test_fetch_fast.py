@@ -217,3 +217,32 @@ def test_compact_bounds_file_counts_and_fast_path_survives(loaded):
         eng.catalog.info("cpu.load"), frm, to, NOW
     )
     assert eng._fetch_fast_values("cpu.load", archive.tier, ti) is not None
+
+
+def test_date_span_guard_falls_back(spark, tmp_path):
+    """A window spanning far more date partitions than the file budget
+    must fall back WITHOUT walking one listdir per date (each listing is
+    an RPC at deployment scale) — and still answer correctly."""
+    from hoard_spark.fetch import TimeInfo
+
+    eng = _mk(spark, tmp_path, name="span")
+    eng.create("m.sparse", [(3600, 24 * 400), (DAY, 4000)])
+    eng.update_many(
+        "m.sparse",
+        [(NOW - 300 * DAY + 7200, 1.0), (NOW - 3600 + 5, 2.0)],
+        now=NOW,
+    )
+    calls = {"n": 0}
+    real_listdir = eng.fs.listdir
+
+    def counting(p):
+        calls["n"] += 1
+        return real_listdir(p)
+
+    eng.fs.listdir = counting
+    ti = TimeInfo(NOW - 350 * DAY, NOW, 3600)
+    assert eng._fetch_fast_values("m.sparse", 0, ti) is None
+    assert calls["n"] == 0, "guard must reject before any dir listing"
+    eng.fs.listdir = real_listdir
+    ti_out, v = eng.fetch("m.sparse", NOW - 350 * DAY, NOW, now=NOW)
+    assert 1.0 in v and 2.0 in v
