@@ -61,10 +61,11 @@ _PRIORITY = [
     "q80_sorted_collect",  # driver-ERR r6 → re-check the fixed scalar form
     "q36_simhash_neardup",  # planted-clone oracle new this round
     "q39_ann_ivf",  # rows-only refresh
+    "q90_topk_simjoin_ladder",  # new in r7 — never driver-checked
     # backfill to 50 from the r6-green set, name order
     "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
     "q04_range_fetch", "q05_retention_filter", "q06_filter",
-    "q07_projection_math", "q08_inner_join_agg",
+    "q07_projection_math",
 ]
 
 

@@ -2240,3 +2240,70 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity_join(
         sh, threshold=0.5, block=["lang", "source"]
     ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# q90: exact top-k similarity via the prefix-filter threshold ladder
+# ---------------------------------------------------------------------------
+
+# Clones appended with 3 unique tokens: a doc with m tokens has m-2
+# shingles, its clone m+1 (3 new), so the planted pair's Jaccard is
+# (m-2)/(m+1) — 0.77-0.97 across the corpus — and the ladder's first
+# rung (0.7) already yields far more than k pairs.
+_TOPK_OFFSET = 2_000_000
+_TOPK_SUFFIX = " qq7z xx8z vv9z"
+_TOPK_K = 20
+
+
+@query(
+    "q90_topk_simjoin_ladder",
+    "EXACT global top-20 Jaccard pairs over a planted-clone corpus via "
+    "the descending prefix-filter threshold ladder (the scale answer to "
+    "the q37-shaped contract when top-k is above noise)",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_TOPK_OFFSET}, text || '{_TOPK_SUFFIX}'
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM d)
+        WHERE len(toks) >= 3
+    ),
+    p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS na,
+               CAST(len(b.sh) AS BIGINT) AS nb,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM p ORDER BY jaccard DESC, a_id, b_id LIMIT {_TOPK_K}
+    """,
+    "training-data pipeline: exact top-k near-dup via threshold ladder "
+    "(hoard_spark/simjoin.py topk_similar_pairs, round 7)",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ladder finds the EXACT global top-k without ever running the
+    unpruned posting join: the first prefix-filtered rung (t=0.7) that
+    yields >= k pairs provably contains the top-k (completeness at t),
+    and the planted clones guarantee the corpus's top-k sits well above
+    that rung. The oracle is the quadratic brute force — the exact
+    computation the ladder's pruning avoids."""
+    from hoard_spark.simjoin import topk_similar_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_TOPK_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source").unionByName(clones)
+    sh = track_cache(shingle_rows_of(aug).select("doc_id", "s"))
+    return topk_similar_pairs(sh, _TOPK_K, ladder=(0.7, 0.5))
