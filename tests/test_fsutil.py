@@ -77,3 +77,21 @@ def test_rmtree_and_listdir(spark, tmp_path):
     assert not d.exists()
     assert fs.listdir(_uri(d)) == []  # absent dir lists empty, no raise
     fs.rmtree(_uri(d))  # idempotent
+
+
+def test_read_bytes_local_and_jvm_paths_agree(spark, tmp_path):
+    """read_bytes has two implementations: the local-FS shortcut
+    (plain open) and the portable Hadoop stream path (used for
+    HDFS/S3). Both must return identical bytes; the JVM path is forced
+    by disabling the local resolution."""
+    fs = WarehouseFS(spark)
+    p = tmp_path / "blob.bin"
+    payload = bytes(range(256)) * 17
+    p.write_bytes(payload)
+    assert fs._local_path(str(p)) is not None  # shortcut engages
+    assert fs.read_bytes(str(p)) == payload
+    assert fs.read_bytes(_uri(p)) == payload  # file:// form too
+    # force the Hadoop stream path
+    fs._default_local = False
+    assert fs._local_path(str(p)) is None
+    assert fs.read_bytes(str(p)) == payload
