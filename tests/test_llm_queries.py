@@ -87,6 +87,8 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
         "q36_simhash_neardup",
         "q37_ngram_jaccard_topk",
         "q47_embedding_neardup",
+        "q79_simjoin_threshold",
+        "q90_topk_simjoin_ladder",
     ],
 )
 def test_neardup_plans_are_bucket_joins(spark, qname):
