@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from hoard_spark.catalog import Catalog, HoardError, MetricInfo
 from hoard_spark.fetch import TimeInfo, collect_values, fetch_df, plan_fetch
-from hoard_spark.fsutil import WarehouseFS
+from hoard_spark.fsutil import WarehouseFS, strip_local_uri
 from hoard_spark.functions import align_ts, bucket_date_col, spine
 from hoard_spark.ingest import Ingestor, lww, prepare_batch, validate_single
 from hoard_spark.rollup import merge_direct, plan_cascade, rollup_tier
@@ -107,15 +107,20 @@ class HoardEngine:
         # parquet files are read driver-side (no Spark job); 0 disables
         self.fetch_driver_max_files = fetch_driver_max_files
         self.fs = WarehouseFS(spark)  # data plane: works on file://, HDFS, S3
-        self.catalog = Catalog(warehouse_dir)
+        # Control plane (catalog/seq/layout JSON) is driver-local plain
+        # I/O by design; normalize local file: URI forms to the OS path
+        # so file:/wh and /wh name ONE control plane, not a literal
+        # "file:" directory (ADVICE r7 URI-forms family).
+        ctl_dir = strip_local_uri(warehouse_dir) or warehouse_dir
+        self.catalog = Catalog(ctl_dir)
         self.points_path = os.path.join(warehouse_dir, "points")
         self.rollups_path = os.path.join(warehouse_dir, "rollups")
-        self._seq_path = os.path.join(warehouse_dir, "_hoard_seq.json")
+        self._seq_path = os.path.join(ctl_dir, "_hoard_seq.json")
         self._seq: dict[str, int] = {}
         if os.path.exists(self._seq_path):
             with open(self._seq_path) as f:
                 self._seq = json.load(f)
-        self._layout_path = os.path.join(warehouse_dir, "_hoard_layout.json")
+        self._layout_path = os.path.join(ctl_dir, "_hoard_layout.json")
         if os.path.exists(self._layout_path):
             with open(self._layout_path) as f:
                 stored = json.load(f).get("metric_buckets")
@@ -126,7 +131,7 @@ class HoardEngine:
                 json.dump({"metric_buckets": metric_buckets}, f)
         # (tier, metric) pairs with a materialized rollup — replaces the
         # per-metric directory probe, which the bucketed layout can't offer
-        self._mat_path = os.path.join(warehouse_dir, "_hoard_materialized.json")
+        self._mat_path = os.path.join(ctl_dir, "_hoard_materialized.json")
         self._materialized: set[str] = set()
         if os.path.exists(self._mat_path):
             with open(self._mat_path) as f:
@@ -673,6 +678,14 @@ class HoardEngine:
                     if len(files) > self.fetch_driver_max_files:
                         return None
             d += timedelta(days=1)
+        if not files:
+            # No files resolved. Either the window is genuinely empty (a
+            # cheap pruned Spark scan confirms) or a listing misresolution
+            # (URI-form path, permission/transient FS error masked as
+            # "not found") would otherwise become a SILENT all-None
+            # answer for data that exists. Fall back to the Spark plan —
+            # it is the ground truth either way.
+            return None
 
         import io
 
@@ -772,7 +785,7 @@ class HoardEngine:
         the (broadcast-small) metric list.
         """
         now = int(now if now is not None else time.time())
-        info = self.catalog.info(metrics[0])
+        info = self._require_shared_policy(metrics, "fetch_many")
         archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
         view = self._tier_view_many_at(
             metrics, archive.tier, (ti.from_interval, ti.to_interval)
@@ -795,6 +808,8 @@ class HoardEngine:
         self, metrics: list[str], op: str
     ) -> MetricInfo:
         """Verify every metric shares one policy signature; return its info."""
+        if not metrics:
+            raise HoardError(f"{op} requires at least one metric")
         sig = None
         first = None
         for m in metrics:

@@ -15,8 +15,29 @@ see hoard_spark/catalog.py); only the data plane goes through Hadoop.
 from __future__ import annotations
 
 import os
+from urllib.parse import urlsplit
 
 from pyspark.sql import SparkSession
+
+
+def strip_local_uri(p: str) -> str | None:
+    """OS path for a string that names the LOCAL filesystem, else None.
+
+    Accepts Hadoop's local URI forms (file:/p, file:///p,
+    file://localhost/p) and plain paths; returns None for any other
+    scheme or a file: URI with a remote authority. Used by the driver's
+    control plane (catalog/seq/layout JSON, plain ``open()``) so that a
+    warehouse opened as ``file:/tmp/wh`` and as ``/tmp/wh`` shares ONE
+    control plane instead of a literal ``file:`` directory."""
+    head = p.split("/", 1)[0]
+    if ":" in head:  # has a URI scheme
+        if not head.startswith("file:"):
+            return None
+        parts = urlsplit(p)
+        if parts.netloc not in ("", "localhost"):
+            return None
+        return parts.path or "/"
+    return p
 
 
 class WarehouseFS:
@@ -34,14 +55,14 @@ class WarehouseFS:
 
         Latency-sensitive callers (the driver-side fetch short-circuit)
         use this to bypass the ~5-10 ms/py4j-call JVM round-trips: a
-        file:// or scheme-less-on-local-defaultFS path reads straight
-        through Python I/O with identical bytes. Remote schemes always
-        take the Hadoop stream path."""
-        if p.startswith("file://"):
-            return p[len("file://"):] or "/"
-        if "://" not in p and self._default_local:
-            return p
-        return None
+        file: URI (any Hadoop-accepted slash count: file:/p, file:///p)
+        or scheme-less-on-local-defaultFS path reads straight through
+        Python I/O with identical bytes. Remote schemes, and file: URIs
+        with a non-local authority (file://host/p), always take the
+        Hadoop stream path."""
+        if ":" in p.split("/", 1)[0]:  # has a URI scheme
+            return strip_local_uri(p)  # file: forms only; else None
+        return p if self._default_local else None
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -92,7 +113,13 @@ class WarehouseFS:
             try:
                 return sorted(os.listdir(lp))
             except (FileNotFoundError, NotADirectoryError):
-                return []
+                if ":" in p:
+                    # URI whose local resolution missed — let Hadoop's own
+                    # parser decide (covers exotic URI forms rather than
+                    # silently reporting an existing dir as empty)
+                    pass
+                else:
+                    return []
         fs = self._fs(p)
         hp = self._path(p)
         if not fs.exists(hp):
@@ -108,8 +135,13 @@ class WarehouseFS:
         anything bigger belongs in a Spark scan."""
         lp = self._local_path(p)
         if lp is not None:
-            with open(lp, "rb") as f:
-                return f.read()
+            try:
+                with open(lp, "rb") as f:
+                    return f.read()
+            except FileNotFoundError:
+                if ":" not in p:
+                    raise
+                # URI form the local shortcut mis-resolved — Hadoop path
         fs = self._fs(p)
         stream = fs.open(self._path(p))
         try:

@@ -51,6 +51,7 @@ def jaccard_similarity_join(
     doc_col: str = "doc_id",
     set_col: str = "s",
     block: list[str] | None = None,
+    keep_raw: bool = False,
 ) -> DataFrame:
     """All pairs of docs with exact Jaccard(shingle sets) >= threshold.
 
@@ -60,7 +61,11 @@ def jaccard_similarity_join(
     candidate key, so df ranks are computed per block too.
 
     Output: ``a_id, b_id (a<b), inter, na, nb, jaccard`` — exact, every
-    pair ≥ threshold, no false negatives (prefix-filter guarantee).
+    pair ≥ threshold, no false negatives (prefix-filter guarantee). The
+    ``jaccard`` column is rounded to 4 decimals for presentation;
+    ``keep_raw`` appends the unrounded ``_jaccard_raw`` for callers that
+    rank on it (``topk_similar_pairs`` — rounding before ranking would
+    reintroduce 5e-5-wide ties at rung boundaries).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -116,18 +121,21 @@ def jaccard_similarity_join(
     jac = inter.cast("double") / (
         (F.col("na") + F.col("nb")).cast("double") - inter.cast("double")
     )
+    cols = [
+        F.col("a_id"),
+        F.col("b_id"),
+        inter.alias("inter"),
+        F.col("na"),
+        F.col("nb"),
+        F.round(jac, 4).alias("jaccard"),
+    ]
+    if keep_raw:
+        cols.append(jac.alias("_jaccard_raw"))
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
         .where(jac >= threshold)  # unrounded — matches the SQL twin
-        .select(
-            "a_id",
-            "b_id",
-            inter.alias("inter"),
-            "na",
-            "nb",
-            F.round(jac, 4).alias("jaccard"),
-        )
+        .select(*cols)
     )
 
 
@@ -170,12 +178,19 @@ def topk_similar_pairs(
         raise ValueError(f"k must be positive, got {k}")
     if not ladder or any(not 0.0 < t <= 1.0 for t in ladder):
         raise ValueError(f"ladder must be thresholds in (0, 1]: {ladder}")
+    # Rank on the UNROUNDED similarity: rung membership filters on the
+    # unrounded value >= t, so ranking on the rounded display column
+    # would leave a seam where a pair with true similarity 5e-5 below a
+    # successful rung rounds into a tie with the kth-best yet was never
+    # generated. Exactness is therefore with respect to the true
+    # similarity; the output's `jaccard` stays 4-decimal for display.
     w_rank = Window.orderBy(
-        F.desc("jaccard"), F.asc("a_id"), F.asc("b_id")
+        F.desc("_jaccard_raw"), F.asc("a_id"), F.asc("b_id")
     )
     for t in sorted(set(ladder), reverse=True):
         pairs = jaccard_similarity_join(
-            shingles, t, doc_col=doc_col, set_col=set_col, block=block
+            shingles, t, doc_col=doc_col, set_col=set_col, block=block,
+            keep_raw=True,
         )
         # candidate-sized; one count job per rung decides descent
         if pairs.limit(k + 1).count() >= k:
@@ -184,7 +199,7 @@ def topk_similar_pairs(
             return (
                 pairs.withColumn("_rk", F.row_number().over(w_rank))
                 .where(F.col("_rk") <= k)
-                .drop("_rk")
+                .drop("_rk", "_jaccard_raw")
                 .orderBy(F.desc("jaccard"), "a_id", "b_id")
             )
     raise ValueError(

@@ -219,6 +219,35 @@ def test_compact_bounds_file_counts_and_fast_path_survives(loaded):
     assert eng._fetch_fast_values("cpu.load", archive.tier, ti) is not None
 
 
+def test_empty_file_list_falls_back_to_spark(loaded):
+    """When the pruned file list resolves EMPTY, the fast path must
+    return None (Spark plan decides), not an all-None vector: a listing
+    misresolution (URI-form path, transient FS error masked as
+    'not found') must never become a silent empty answer for data that
+    exists (ADVICE r7). Genuinely-empty windows pay one pruned scan."""
+    from hoard_spark.fetch import TimeInfo
+
+    eng, _ = loaded
+    # a window inside tier-0 retention but before any written point
+    ti = TimeInfo(NOW - 10 * DAY, NOW - 10 * DAY + 2 * 3600, 3600)
+    assert eng._fetch_fast_values("cpu.load", 0, ti) is None
+    # ...and the full fetch still answers (all-gaps) via Spark
+    ti_out, v = eng.fetch(
+        "cpu.load", NOW - 10 * DAY, NOW - 10 * DAY + 2 * 3600, now=NOW
+    )
+    assert v and all(x is None for x in v)
+
+
+def test_fetch_many_empty_metric_list_raises(loaded):
+    from hoard_spark.catalog import HoardError
+
+    eng, _ = loaded
+    with pytest.raises(HoardError, match="at least one metric"):
+        eng.fetch_many([], NOW - 3600, NOW, now=NOW)
+    with pytest.raises(HoardError, match="at least one metric"):
+        eng.fetch_many_dataframe([], NOW - 3600, NOW, now=NOW)
+
+
 def test_date_span_guard_falls_back(spark, tmp_path):
     """A window spanning far more date partitions than the file budget
     must fall back WITHOUT walking one listdir per date (each listing is

@@ -95,3 +95,55 @@ def test_read_bytes_local_and_jvm_paths_agree(spark, tmp_path):
     fs._default_local = False
     assert fs._local_path(str(p)) is None
     assert fs.read_bytes(str(p)) == payload
+
+
+def test_uri_forms_hadoop_accepts(spark, tmp_path):
+    """Hadoop accepts file:/p (single slash) and file:///p as the same
+    local path; file://host/p names a REMOTE authority. _local_path must
+    agree or the fetch fast path silently sees an empty directory where
+    data exists (ADVICE r7)."""
+    fs = WarehouseFS(spark)
+    d = tmp_path / "u"
+    d.mkdir()
+    (d / "x.parquet").write_bytes(b"pq")
+    # single-slash URI — Hadoop-equivalent to file:///...
+    assert fs._local_path(f"file:{d}") == str(d)
+    assert fs.listdir(f"file:{d}") == ["x.parquet"]
+    assert fs.read_bytes(f"file:{d}/x.parquet") == b"pq"
+    # triple-slash and localhost-authority forms
+    assert fs._local_path(f"file://{d}") == str(d)
+    assert fs._local_path(f"file://localhost{d}") == str(d)
+    # remote authority is NOT local
+    assert fs._local_path("file://otherhost/data") is None
+    # non-file scheme with single slash is not local either
+    assert fs._local_path("hdfs:/data/wh") is None
+    # colon later in the path does not mean a scheme
+    colon_dir = tmp_path / "odd:name"
+    colon_dir.mkdir()
+    (colon_dir / "y").write_text("1")
+    assert fs._local_path(str(colon_dir)) == str(colon_dir)
+    assert fs.listdir(str(colon_dir)) == ["y"]
+
+
+def test_uri_warehouse_shares_control_plane(spark, tmp_path):
+    """A warehouse opened as file:/wh, file:///wh and /wh is ONE
+    warehouse: the driver-local control plane (catalog/seq/layout JSON)
+    must land at the OS path, not a literal 'file:' directory, so all
+    three spellings see the same metrics and data."""
+    import os
+
+    from hoard_spark.engine import HoardEngine
+    from hoard_spark.fsutil import strip_local_uri
+
+    wh = str(tmp_path / "wh_uri")
+    assert strip_local_uri(f"file:{wh}") == wh
+    assert strip_local_uri(f"file://{wh}") == wh
+    assert strip_local_uri("s3a://bucket/wh") is None
+    eng = HoardEngine(spark, f"file:{wh}")
+    eng.create("m", [(3600, 48)])
+    eng.update_many("m", [(1311278000, 7.25)], now=1311300000)
+    assert os.path.exists(os.path.join(wh, "_hoard_catalog.json"))
+    for root in (f"file://{wh}", wh):
+        other = HoardEngine(spark, root)
+        ti, v = other.fetch("m", 1311274000, 1311281000, now=1311300000)
+        assert 7.25 in v, (root, v)

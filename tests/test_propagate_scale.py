@@ -21,8 +21,8 @@ def _batch_df(spark, n_metrics, points_per_metric=30):
     return spark.createDataFrame(rows, "metric string, ts long, value double")
 
 
-def _job_count(spark) -> int:
-    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+def _jobs_in_group(spark, group: str) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
 
 
 def test_microbatch_jobs_independent_of_metric_count(spark, tmp_path):
@@ -32,9 +32,23 @@ def test_microbatch_jobs_independent_of_metric_count(spark, tmp_path):
         engine = HoardEngine(spark, str(tmp_path / f"wh{n_metrics}"))
         for m in range(n_metrics):
             engine.create(f"m{m:03d}", ARCHIVES)
-        before = _job_count(spark)
-        ingest_microbatch(engine, _batch_df(spark, n_metrics), batch_id=0, now=NOW)
-        return _job_count(spark) - before
+        # Count within a DEDICATED job group: a before/after delta over
+        # getJobIdsForGroup(None) reads the bounded retained-jobs list,
+        # so late in a long suite eviction makes the delta negative
+        # (VERDICT r7 observed -82). The group's jobs are the newest in
+        # the UI store, far below spark.ui.retainedJobs, so this count
+        # is exact regardless of suite-accumulated history.
+        sc = spark.sparkContext
+        group = f"jobcount-{n_metrics}"
+        sc.setJobGroup(group, "propagate job-count measurement")
+        try:
+            ingest_microbatch(
+                engine, _batch_df(spark, n_metrics), batch_id=0, now=NOW
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        return _jobs_in_group(spark, group)
 
     small, large = jobs_for(2), jobs_for(N_METRICS)
     # The per-metric regime scales linearly (>= n_metrics * tiers write
