@@ -28,14 +28,20 @@ SF_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
     "sf_dir,floor", [(SF_SMOKE, 0.9), (SF_T2, 0.95)]
 )
 def test_ann_ivf_recall_vs_exact(spark, sf_dir, floor):
-    """k-means IVF (r3): recall@3 >= 0.95 at sf0.01 (VERDICT r2 stretch)."""
+    """k-means IVF (r3): recall@3 >= 0.95 at sf0.01 (VERDICT r2 stretch).
+
+    Uses the genuine-neighbor contract (``ann_ivf_topk``): q39 itself is
+    the oracle-checked planted-probe form since r8, so the approximate
+    recall pin lives here, on the same machinery."""
+    from hoard_spark.queries.llm import ann_ivf_topk
+
     exact = {
         (r["q_id"], r["n_id"])
         for r in REG["q38_knn_exact"].spark_fn(spark, sf_dir).collect()
     }
     ann = {
         (r["q_id"], r["n_id"])
-        for r in REG["q39_ann_ivf"].spark_fn(spark, sf_dir).collect()
+        for r in ann_ivf_topk(spark, sf_dir).collect()
     }
     assert exact, "exact baseline returned nothing"
     recall = len(exact & ann) / len(exact)
