@@ -182,10 +182,18 @@ def main() -> None:
         "notes": NOTES,
         "sf": sf_of(SF_DIR),
     }
-    # Full-precision artifact lives in the repo (the driver keeps only the
-    # ~2 KB tail of stdout — BENCH_r05 lost q01–q19's raw timings to that
-    # window, VERDICT r5 item 4).
-    full_path = REPO / "tools" / f"bench_full_sf{sf_of(SF_DIR)}.json"
+    # Full-precision artifact (the driver keeps only the ~2 KB tail of
+    # stdout — BENCH_r05 lost q01–q19's raw timings to that window,
+    # VERDICT r5 item 4). Default destination is a SCRATCH dir so the
+    # driver's own post-commit bench runs don't overwrite the committed
+    # tools/ pair (VERDICT r7 item 5: uncommitted working-tree drift);
+    # the builder's round-end runs set SPARK_GRAFT_BENCH_FULL_DIR=tools
+    # and commit the result.
+    full_dir = Path(
+        os.environ.get("SPARK_GRAFT_BENCH_FULL_DIR", "/tmp/hoard_bench")
+    )
+    full_dir.mkdir(parents=True, exist_ok=True)
+    full_path = full_dir / f"bench_full_sf{sf_of(SF_DIR)}.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 
     # Final stdout line: complete but compact — qNN short keys and

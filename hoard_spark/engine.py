@@ -31,11 +31,13 @@ in production.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
 import time
 import zlib
+from contextlib import contextmanager
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -136,9 +138,54 @@ class HoardEngine:
         if os.path.exists(self._mat_path):
             with open(self._mat_path) as f:
                 self._materialized = set(json.load(f))
+        self._lock_path = os.path.join(ctl_dir, "_hoard_writer.lock")
+        self._lock_depth = 0
         self.ingestor = Ingestor(
             spark, self.catalog, self.points_path, self.metric_buckets
         )
+
+    @contextmanager
+    def _writer_lock(self):
+        """Serialize mutating ops per warehouse (reference FIXME parity:
+        'Check file lock?' at src/hoard.coffee:67, 183, 243 — the engine,
+        like the reference, assumes a single writer; this makes the
+        assumption enforced instead of silent).
+
+        An exclusive, non-blocking ``flock`` on a control-plane lock file,
+        held for the duration of one mutating operation: a second writer
+        — another process, or another engine handle in this process —
+        gets an immediate ``HoardError`` instead of interleaving catalog/
+        seq writes. Advisory flock is released by the OS on process death,
+        so no stale-lock recovery is needed. Reentrant within one engine
+        handle (ingest -> propagate nests). Like the rest of the control
+        plane this guards same-driver-host writers; a multi-driver
+        deployment moves the control plane to a metastore (catalog.py).
+        """
+        if self._lock_depth:
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+            return
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                raise HoardError(
+                    "warehouse is locked by another writer "
+                    f"(lock file: {self._lock_path})"
+                ) from None
+            os.write(fd, f"{os.getpid()}\n".encode())
+            self._lock_depth = 1
+            try:
+                yield
+            finally:
+                self._lock_depth = 0
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     # ------------------------------------------------------- layout helpers
     @property
@@ -193,7 +240,8 @@ class HoardEngine:
         now: int | None = None,
     ) -> MetricInfo:
         """Reference create() (O1, src/hoard.coffee:30-69)."""
-        return self.catalog.create(metric, archives, x_files_factor, now)
+        with self._writer_lock():
+            return self.catalog.create(metric, archives, x_files_factor, now)
 
     def info(self, metric: str) -> MetricInfo:
         """Reference info() (O2, src/hoard.coffee:392-424)."""
@@ -266,10 +314,16 @@ class HoardEngine:
         """
         now = int(now if now is not None else time.time())
         info = self.catalog.info(metric)
-        prepared = self.ingestor.append(df, info, now)
-        self.catalog.touch(metric, now)
-        if propagate and len(info.archives) > 1:
-            self.propagate(metric, batch=prepared)
+        # Same shape as the streaming micro-batch path (round 8): prepare
+        # once, cache, run the rollup pass from memory (``pending``) so it
+        # reads only pre-existing history from disk, then append.
+        with self._writer_lock():
+            prepared = self.ingestor.prepare(df, info, now).cache()
+            self.catalog.touch(metric, now)
+            if propagate and len(info.archives) > 1:
+                self.propagate(metric, batch=prepared, pending=prepared)
+            self.ingestor.write(prepared)
+            prepared.unpersist()
         return prepared
 
     # ------------------------------------------------------------- reading
@@ -393,13 +447,30 @@ class HoardEngine:
         metrics: list[str],
         tier: int,
         ts_range: tuple[int, int] | None = None,
+        pending: DataFrame | None = None,
     ) -> DataFrame:
+        """LWW view of one tier's direct points. ``pending`` is a
+        ``Ingestor.prepare``d batch whose rows may not be on the points
+        table yet — it is unioned in under the SAME predicates before the
+        LWW collapse, so the rollup pass can consume the micro-batch from
+        memory instead of re-reading the freshly appended small files
+        (round 8). Safe whether or not those rows were already appended:
+        a duplicate (metric, tier, bucket, seq) collapses in max_by."""
+        cols = ["metric", "tier", "bucket_ts", "value", "seq"]
         pts = self._read_points().where(
             (F.col("tier") == tier) & self._metrics_pred(metrics)
         )
         dpred = self._date_pred(ts_range)
         if dpred is not None:
             pts = pts.where(dpred)
+        pts = pts.select(*cols)
+        if pending is not None:
+            extra = pending.where(
+                (F.col("tier") == tier) & self._metrics_pred(metrics)
+            )
+            if dpred is not None:
+                extra = extra.where(dpred)
+            pts = pts.unionByName(extra.select(*cols))
         return lww(pts).select("metric", "bucket_ts", "value")
 
     def _tier_view_many(
@@ -407,12 +478,13 @@ class HoardEngine:
         metrics: list[str],
         tier: int,
         ts_range: tuple[int, int] | None = None,
+        pending: DataFrame | None = None,
     ) -> DataFrame:
         """Multi-metric tier view: one scan for every materialized metric,
         per-metric cascade fallback only for the stragglers (steady-state
         streaming has none, so this stays a single pruned scan)."""
         if tier == 0:
-            return self._direct_lww_many(metrics, 0, ts_range)
+            return self._direct_lww_many(metrics, 0, ts_range, pending)
         materialized = [
             m for m in metrics if self._is_materialized(tier, m)
         ]
@@ -433,12 +505,30 @@ class HoardEngine:
             out = out.unionByName(p)
         return out
 
-    def propagate(self, metric: str, batch: DataFrame | None = None) -> None:
+    def propagate(
+        self,
+        metric: str,
+        batch: DataFrame | None = None,
+        pending: DataFrame | None = None,
+    ) -> None:
         """Materialize the rollup cascade (O6, src/hoard.coffee:71-178)."""
-        self.propagate_many([metric], batch=batch)
+        self.propagate_many([metric], batch=batch, pending=pending)
 
     def propagate_many(
-        self, metrics: list[str], batch: DataFrame | None = None
+        self,
+        metrics: list[str],
+        batch: DataFrame | None = None,
+        pending: DataFrame | None = None,
+    ) -> None:
+        """See ``_propagate_many_impl``; serialized by the writer lock."""
+        with self._writer_lock():
+            self._propagate_many_impl(metrics, batch, pending)
+
+    def _propagate_many_impl(
+        self,
+        metrics: list[str],
+        batch: DataFrame | None = None,
+        pending: DataFrame | None = None,
     ) -> None:
         """Materialize the rollup cascade for metrics SHARING one policy.
 
@@ -447,6 +537,13 @@ class HoardEngine:
         the batch touched — the generalized ``_.uniq`` propagate-target
         dedup (src/hoard.coffee:373-378) — and written with dynamic
         partition overwrite. Without it, a full rebuild.
+
+        ``pending``: the same prepared batch when its rows are NOT yet
+        (or not necessarily yet) appended to the points table — the tier
+        views union it in before the LWW collapse, so the rollup pass
+        reads only pre-existing history from disk and takes the
+        micro-batch from memory. Duplicates (rows both on disk and in
+        pending) collapse in LWW, so passing it is always safe.
 
         Scale contract: the whole call runs O(tiers) Spark jobs regardless
         of metric count — per tier, one distinct over the micro-batch, one
@@ -462,30 +559,42 @@ class HoardEngine:
         if not cascade:
             return
 
+        touched_by_tier: dict[int, set[tuple[str, str]]] | None = None
         if batch is not None:
-            batch = batch.select("metric", "tier", "bucket_ts").cache()
-
-        for tier_k, higher_spp, lower_spp in cascade:
-            touched_pairs: list[tuple[str, str]] | None = None
-            ts_range: tuple[int, int] | None = None
-            if batch is not None:
-                # (metric, date) pairs affected at this tier: rows routed to
-                # finer tiers cascade down; rows routed directly to this
-                # tier land as-is; coarser rows don't touch this tier. One
-                # small distinct job for ALL metrics in the group.
-                rows = (
-                    batch.where(F.col("tier") <= tier_k)
-                    .select(
+            batch = batch.select("metric", "tier", "bucket_ts")
+            # (metric, date) pairs affected per cascade tier: rows routed
+            # to finer tiers cascade down; rows routed directly to a tier
+            # land as-is; coarser rows don't touch it. ONE fused distinct
+            # job computes the touched sets for ALL cascade steps (round
+            # 8 — was one distinct job per tier): the per-tier frames are
+            # unioned with a tier tag, so the whole scoping pass costs a
+            # single batch-sized shuffle regardless of cascade depth.
+            frames = []
+            for tier_k, _, lower_spp in cascade:
+                frames.append(
+                    batch.where(F.col("tier") <= tier_k).select(
+                        F.lit(tier_k).alias("tk"),
                         "metric",
                         bucket_date_col(
                             F.col("bucket_ts")
                             - F.pmod(F.col("bucket_ts"), F.lit(lower_spp))
                         ).alias("d"),
                     )
-                    .distinct()
-                    .collect()
                 )
-                touched_pairs = sorted({(r["metric"], str(r["d"])) for r in rows})
+            un = frames[0]
+            for f in frames[1:]:
+                un = un.unionByName(f)
+            touched_by_tier = {}
+            for r in un.distinct().collect():
+                touched_by_tier.setdefault(r["tk"], set()).add(
+                    (r["metric"], str(r["d"]))
+                )
+
+        for tier_k, higher_spp, lower_spp in cascade:
+            touched_pairs: list[tuple[str, str]] | None = None
+            ts_range: tuple[int, int] | None = None
+            if touched_by_tier is not None:
+                touched_pairs = sorted(touched_by_tier.get(tier_k, set()))
                 if not touched_pairs:
                     continue
                 dates = sorted({d for _, d in touched_pairs})
@@ -495,7 +604,9 @@ class HoardEngine:
 
             # ts_range prunes the scans to the touched date partitions (a
             # one-day micro-batch must not list 3 years of directories)
-            higher_view = self._tier_view_many(metrics, tier_k - 1, ts_range)
+            higher_view = self._tier_view_many(
+                metrics, tier_k - 1, ts_range, pending=pending
+            )
             if ts_range is not None:
                 higher_view = higher_view.where(
                     (F.col("bucket_ts") >= ts_range[0])
@@ -506,7 +617,10 @@ class HoardEngine:
                 higher_view, lower_spp, higher_spp, info.x_files_factor
             )
             merged = merge_direct(
-                rolled, self._direct_lww_many(metrics, tier_k, ts_range)
+                rolled,
+                self._direct_lww_many(
+                    metrics, tier_k, ts_range, pending=pending
+                ),
             )
             out = (
                 merged.withColumn("tier", F.lit(tier_k))
@@ -587,9 +701,21 @@ class HoardEngine:
                 # targets; the shuffled frame is partition-scoped and
                 # rollup-sized, so the extra exchange is cheap even per
                 # micro-batch), then by metric within each file so parquet
-                # min/max statistics on `metric` skip row groups at read
-                out.repartition(*self._part_cols)
-                .sortWithinPartitions("metric", "bucket_ts")
+                # min/max statistics on `metric` skip row groups at read.
+                # Explicit partition count: a columns-only repartition is
+                # an AQE coalesce target and a small batch collapses the
+                # write to one task; with the count pinned each dir still
+                # hashes to exactly one task (one file per dir) while
+                # distinct dirs write in parallel.
+                out.repartition(
+                    self.spark.sparkContext.defaultParallelism,
+                    *self._part_cols,
+                )
+                .sortWithinPartitions(
+                    *self._part_cols,
+                    *[c for c in ("metric", "bucket_ts")
+                      if c not in self._part_cols],
+                )
                 .write.partitionBy(*self._part_cols)
                 # set dynamic overwrite ON THE WRITER: correctness must not
                 # depend on spark.sql.sources.partitionOverwriteMode in the
@@ -605,9 +731,6 @@ class HoardEngine:
                 if touched_pairs is not None
                 else metrics,
             )
-
-        if batch is not None:
-            batch.unpersist()
 
     # --------------------------------------------------------------- fetch
     def fetch(
@@ -668,16 +791,16 @@ class HoardEngine:
         # and the driver's is not
         if (hi_d - lo_d).days + 1 > max(2 * self.fetch_driver_max_files, 8):
             return None
-        files: list[str] = []
+        dates = []
         d = lo_d
         while d <= hi_d:
-            dirp = f"{root}/tier={tier}/{mid}/date={d.isoformat()}"
-            for name in self.fs.listdir(dirp):
-                if name.endswith(".parquet"):
-                    files.append(f"{dirp}/{name}")
-                    if len(files) > self.fetch_driver_max_files:
-                        return None
+            dates.append(d.isoformat())
             d += timedelta(days=1)
+        # ONE listing round-trip for the whole window on remote stores
+        # (globStatus date alternation); per-present-date scandir locally.
+        files = self.fs.list_date_files(f"{root}/tier={tier}/{mid}", dates)
+        if len(files) > self.fetch_driver_max_files:
+            return None
         if not files:
             # No files resolved. Either the window is genuinely empty (a
             # cheap pruned Spark scan confirms) or a listing misresolution
@@ -908,6 +1031,10 @@ class HoardEngine:
         The Spark analog of the ring buffer's implicit in-place dedup; run
         periodically so read-side dedup cost stays bounded.
         """
+        with self._writer_lock():
+            self._compact_impl(metric)
+
+    def _compact_impl(self, metric: str | None = None) -> None:
         pts = self._read_points()
         if metric is not None:
             if self.metric_buckets:
@@ -981,6 +1108,10 @@ class HoardEngine:
         (the same ride-along-partition shape as compact(metric)); a
         bucket left empty is deleted outright.
         """
+        with self._writer_lock():
+            self._drop_impl(metric)
+
+    def _drop_impl(self, metric: str) -> None:
         self.catalog.info(metric)  # raises HoardError on unknown metric
         if not self.metric_buckets:
             for root in (self.points_path, self.rollups_path):
@@ -1045,6 +1176,12 @@ class HoardEngine:
         whole day lies past the tier's retention — the ring buffer's eviction
         (src/hoard.coffee:217-222) as a partition drop, no data rewrite.
         """
+        with self._writer_lock():
+            return self._drop_expired_impl(metric, now)
+
+    def _drop_expired_impl(
+        self, metric: str, now: int | None = None
+    ) -> list[str]:
         now = int(now if now is not None else time.time())
         info = self.catalog.info(metric)
         dropped: list[str] = []

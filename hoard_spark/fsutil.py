@@ -128,6 +128,35 @@ class WarehouseFS:
             st.getPath().getName() for st in fs.listStatus(hp)
         )
 
+    def list_date_files(
+        self, base: str, dates: list[str], ext: str = ".parquet"
+    ) -> list[str]:
+        """All ``base/date=D/*ext`` files for the given dates.
+
+        On remote stores this is ONE listing round-trip — a
+        ``globStatus`` with a date alternation — instead of one RPC per
+        date dir (the fetch short-circuit's serial-listing tax, VERDICT
+        r7 item 10). Locally it is a scandir per present date: syscalls,
+        not RPCs, so fan-out is free. Missing date dirs are skipped.
+        """
+        lp = self._local_path(base)
+        if lp is not None:
+            out: list[str] = []
+            for d in dates:
+                try:
+                    names = os.listdir(os.path.join(lp, f"date={d}"))
+                except (FileNotFoundError, NotADirectoryError):
+                    continue
+                out.extend(
+                    f"{base}/date={d}/{n}"
+                    for n in sorted(names)
+                    if n.endswith(ext)
+                )
+            return out
+        pat = base.rstrip("/") + "/date={" + ",".join(dates) + "}/*" + ext
+        sts = self._fs(base).globStatus(self._path(pat))
+        return sorted(str(st.getPath()) for st in (sts or []))
+
     def read_bytes(self, p: str) -> bytes:
         """Whole-file read through the Hadoop stream API (works on
         file://, HDFS, S3). Intended for SMALL files — the driver-side

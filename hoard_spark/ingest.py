@@ -124,13 +124,17 @@ class Ingestor:
         self.points_path = points_path
         self.metric_buckets = metric_buckets
 
-    def append(self, df: DataFrame, info: MetricInfo, now: int) -> DataFrame:
-        """Validate + route + append one metric's batch.
+    @property
+    def part_cols(self) -> list[str]:
+        if self.metric_buckets:
+            return ["tier", "mb", "date"]
+        return ["tier", "metric", "date"]
 
-        Returns the prepared batch (for incremental rollup scoping). The
-        write is a plain partitioned append: no shuffle, no read-modify-write
-        — the scalable half of the LWW design.
-        """
+    def prepare(self, df: DataFrame, info: MetricInfo, now: int) -> DataFrame:
+        """Validate + route + align one batch, adding the layout's ``mb``
+        column when bucketed — the exact rows ``write`` will append, so a
+        caller can cache this frame and reuse it as the rollup pass's
+        in-memory ``pending`` view (hoard_spark/streaming/ingest.py)."""
         prepared = prepare_batch(df, info, now)
         if self.metric_buckets:
             prepared = prepared.withColumn(
@@ -140,19 +144,52 @@ class Ingestor:
                     F.lit(self.metric_buckets),
                 ).cast("int"),
             )
-            part_cols = ["tier", "mb", "date"]
-        else:
-            part_cols = ["tier", "metric", "date"]
-        # Cluster rows within each output file by bucket for row-group
-        # locality — the Spark analog of the reference's contiguous-run write
-        # coalescing (src/hoard.coffee:302-323).
+        return prepared
+
+    def append(self, df: DataFrame, info: MetricInfo, now: int) -> DataFrame:
+        """Validate + route + append one metric's batch.
+
+        Returns the prepared batch (for incremental rollup scoping). The
+        write is a plain partitioned append: no read-modify-write — the
+        scalable half of the LWW design.
+        """
+        prepared = self.prepare(df, info, now)
+        self.write(prepared)
+        return prepared
+
+    def write(self, prepared: DataFrame) -> None:
+        """Append a ``prepare``d batch to the points table."""
+        part_cols = self.part_cols
+        # Cluster the batch by output partition before writing (round 8):
+        # ONE file per (tier, mb|metric, date) dir per append instead of
+        # one per input task x dir — a 32-task batch spanning 30 dates
+        # would otherwise scatter ~tasks x dirs tiny files, which the
+        # rollup recompute and fetch short-circuit then pay to re-list
+        # and re-open. The shuffle is batch-sized (bounded per
+        # micro-batch) and also PARALLELIZES the write when the source
+        # arrives as few partitions (a single-file parquet batch wrote
+        # on one task before). Within each file rows stay clustered by
+        # (metric, bucket_ts) for parquet row-group min/max skipping —
+        # the Spark analog of the reference's contiguous-run write
+        # coalescing (src/hoard.coffee:302-323); sorting by the
+        # partition cols first satisfies FileFormatWriter's required
+        # ordering so it does not re-sort and destroy the secondary key.
+        sort_cols = part_cols + [
+            c for c in ("metric", "bucket_ts") if c not in part_cols
+        ]
+        # Explicit partition COUNT: a columns-only repartition is an AQE
+        # coalesce target, and a small micro-batch collapses to ONE task
+        # — serializing the write. With the count pinned, each (tier,
+        # mb|metric, date) dir still hashes to exactly one task (one
+        # file per dir) while distinct dirs spread across the cluster.
+        npart = self.spark.sparkContext.defaultParallelism
         (
-            prepared.sortWithinPartitions("metric", "bucket_ts")
+            prepared.repartition(npart, *part_cols)
+            .sortWithinPartitions(*sort_cols)
             .write.partitionBy(*part_cols)
             .mode("append")
             .parquet(self.points_path)
         )
-        return prepared
 
     def points_batch(
         self,

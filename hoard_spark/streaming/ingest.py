@@ -58,9 +58,16 @@ def ingest_microbatch(
     on a missing file; a stream must not die on one bad key, so they are
     dropped here (a dead-letter sink is the production extension point).
     """
-    if batch_df.isEmpty():
-        return
     now = int(now if now is not None else time.time())
+    # ONE scan answers both "is the batch empty" and "which metrics does
+    # it touch" (round 8 — a separate isEmpty() action cost one extra
+    # job per micro-batch, pure floor at streaming cadence).
+    metrics = [
+        r["metric"] for r in batch_df.select("metric").distinct().collect()
+    ]
+    known = [m for m in metrics if engine.catalog.exists(m)]
+    if not known:
+        return
     if "seq" not in batch_df.columns:
         # No source sequence: order within the batch is arbitrary, so
         # synthesize one that makes batches apply in arrival order.
@@ -103,30 +110,42 @@ def ingest_microbatch(
         )
     batch_df = batch_df.select("metric", "ts", "value", "seq")
 
-    metrics = [
-        r["metric"] for r in batch_df.select("metric").distinct().collect()
-    ]
-    known = [m for m in metrics if engine.catalog.exists(m)]
-    if not known:
-        return
-
     # One prepare+append per distinct policy signature (routing and
     # alignment depend only on the policy, never the metric name).
     by_sig: dict[tuple, list[str]] = {}
     for m in known:
         by_sig.setdefault(_policy_signature(engine.catalog.info(m)), []).append(m)
 
+    with engine._writer_lock():
+        _apply_microbatch(engine, batch_df, by_sig, now, propagate)
+
+
+def _apply_microbatch(engine, batch_df, by_sig, now, propagate):
     for sig_metrics in by_sig.values():
         info = engine.catalog.info(sig_metrics[0])
         sub = batch_df.where(F.col("metric").isin(sig_metrics))
-        prepared = engine.ingestor.append(sub, info, now)
+        # Prepare once, cache, and run the ROLLUP PASS BEFORE the points
+        # append (round 8): with the prepared batch supplied as
+        # ``pending``, the tier views take the micro-batch from memory
+        # and read only pre-existing history from disk — the recompute
+        # no longer re-lists and re-opens the small files the append
+        # just wrote. Ordering is safe either way (LWW collapses rows
+        # that are both on disk and in pending; a crash between the two
+        # writes converges on foreachBatch replay) — the only observable
+        # difference is a transient window where a rollup may be fresher
+        # than the not-yet-visible raw points.
+        prepared = engine.ingestor.prepare(sub, info, now).cache()
         # ONE catalog write per policy group (touch_many), not one per
         # metric — the control plane stays O(1) writes per micro-batch.
         engine.catalog.touch_many(sig_metrics, now)
         if propagate and len(info.archives) > 1:
             # ONE multi-metric cascade per policy group: O(tiers) Spark
             # jobs per micro-batch, independent of metric count.
-            engine.propagate_many(sig_metrics, batch=prepared)
+            engine.propagate_many(
+                sig_metrics, batch=prepared, pending=prepared
+            )
+        engine.ingestor.write(prepared)
+        prepared.unpersist()
 
 
 def start_ingest(

@@ -263,15 +263,22 @@ def test_date_span_guard_falls_back(spark, tmp_path):
     )
     calls = {"n": 0}
     real_listdir = eng.fs.listdir
+    real_ldf = eng.fs.list_date_files
 
-    def counting(p):
+    def counting(*a, **k):
         calls["n"] += 1
-        return real_listdir(p)
+        return real_listdir(*a, **k)
+
+    def counting_ldf(*a, **k):
+        calls["n"] += 1
+        return real_ldf(*a, **k)
 
     eng.fs.listdir = counting
+    eng.fs.list_date_files = counting_ldf
     ti = TimeInfo(NOW - 350 * DAY, NOW, 3600)
     assert eng._fetch_fast_values("m.sparse", 0, ti) is None
     assert calls["n"] == 0, "guard must reject before any dir listing"
     eng.fs.listdir = real_listdir
+    eng.fs.list_date_files = real_ldf
     ti_out, v = eng.fetch("m.sparse", NOW - 350 * DAY, NOW, now=NOW)
     assert 1.0 in v and 2.0 in v

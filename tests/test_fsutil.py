@@ -125,6 +125,39 @@ def test_uri_forms_hadoop_accepts(spark, tmp_path):
     assert fs.listdir(str(colon_dir)) == ["y"]
 
 
+def test_list_date_files_local_and_glob_paths_agree(spark, tmp_path):
+    """The fetch short-circuit's batched listing: the local scandir path
+    and the Hadoop globStatus path must return the same files (modulo
+    path form), skipping absent dates and non-parquet names."""
+    base = tmp_path / "pts" / "tier=0" / "metric=m"
+    for d, names in {
+        "2026-01-01": ["a.parquet", "b.parquet", "_SUCCESS"],
+        "2026-01-03": ["c.parquet"],
+    }.items():
+        (base / f"date={d}").mkdir(parents=True)
+        for n in names:
+            (base / f"date={d}" / n).write_bytes(b"x")
+    fs = WarehouseFS(spark)
+    dates = ["2026-01-01", "2026-01-02", "2026-01-03"]
+    local = fs.list_date_files(str(base), dates)
+    assert [p.rsplit("/", 2)[-2:] for p in local] == [
+        ["date=2026-01-01", "a.parquet"],
+        ["date=2026-01-01", "b.parquet"],
+        ["date=2026-01-03", "c.parquet"],
+    ]
+    # force the globStatus path; same files come back
+    fs._default_local = False
+    remote = fs.list_date_files(str(base), dates)
+    assert [p.rsplit("/", 2)[-2:] for p in remote] == [
+        p.rsplit("/", 2)[-2:] for p in local
+    ]
+    # single-date window (degenerate alternation) on both paths
+    fs._default_local = True
+    assert len(fs.list_date_files(str(base), ["2026-01-03"])) == 1
+    fs._default_local = False
+    assert len(fs.list_date_files(str(base), ["2026-01-03"])) == 1
+
+
 def test_uri_warehouse_shares_control_plane(spark, tmp_path):
     """A warehouse opened as file:/wh, file:///wh and /wh is ONE
     warehouse: the driver-local control plane (catalog/seq/layout JSON)
