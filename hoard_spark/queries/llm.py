@@ -39,18 +39,26 @@ _DUCK_SHINGLES = (
 )
 
 
-def shingle_rows_of(docs: DataFrame) -> DataFrame:
-    """documents DataFrame → one row per DISTINCT word-3-gram shingle:
-    (doc_id, lang, source, s).
+def shingle_rows_of(docs: DataFrame, width: int = 3) -> DataFrame:
+    """documents DataFrame → one row per DISTINCT word-``width``-gram
+    shingle: (doc_id, lang, source, s).
 
     Fully whole-stage-codegen: posexplode tokens, window ``lead`` to form
-    the 3-gram, hash-distinct — replacing the interpreted
+    the n-gram, hash-distinct — replacing the interpreted
     ``transform(sequence, … concat_ws)`` higher-order array build, which
     dominated every shingle query (measured 5.4 s → 0.7 s for the
     explode+hash stage at sf0.1). Every consumer (MinHash signatures, the
     inverted index, intersection counting) wants exploded rows anyway, so
-    no arrays are ever materialized. Docs with <3 tokens yield no rows
-    (no 3-gram defined), matching the oracle's ``len(toks) >= 3`` gate.
+    no arrays are ever materialized. Docs with <width tokens yield no
+    rows, matching the oracle's ``len(toks) >= 3`` gate at the default.
+
+    ``width`` matters at scale: on a CLOSED vocabulary (V words) the
+    n-gram domain is V^width, and per-shingle document frequency — the
+    quantity whose square bounds every posting/prefix join — is
+    ~corpus_shingles / V^width. tools/bench_heavy_sf1.py measures this
+    directly: at 10x data on the 31-word testdata vocabulary, width 3
+    (domain ~30k) lets df grow ∝ N and the prefix join goes quadratic,
+    while width 5 (domain ~28.6M) keeps df flat and the slope linear.
     """
     from pyspark.sql import Window
 
@@ -61,18 +69,19 @@ def shingle_rows_of(docs: DataFrame) -> DataFrame:
         F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    t2 = F.lead("tok", 2).over(w)
+    last = F.lead("tok", width - 1).over(w)
+    gram = F.concat_ws(
+        " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, width)]
+    )
     return (
         toks.select(
             "doc_id",
             "lang",
             "source",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("s"),
-            t2.alias("t2"),
+            gram.alias("s"),
+            last.alias("_last"),
         )
-        .where(F.col("t2").isNotNull())
+        .where(F.col("_last").isNotNull())
         .select("doc_id", "lang", "source", "s")
         .distinct()
     )

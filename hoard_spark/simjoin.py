@@ -91,14 +91,30 @@ def jaccard_similarity_join(
     )
 
     a = prefix.select(
-        F.col(doc_col).alias("a_id"), *block, set_col
+        F.col(doc_col).alias("a_id"), *block, set_col,
+        F.col("_n").alias("_na"),
     )
     b = prefix.select(
-        F.col(doc_col).alias("b_id"), *block, set_col
+        F.col(doc_col).alias("b_id"), *block, set_col,
+        F.col("_n").alias("_nb"),
     )
     cand = (
         a.join(b, [*block, set_col])
-        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            # Length filter (Arasu/Chaudhuri SSJoin): J >= t implies
+            # min(|a|,|b|)/max(|a|,|b|) >= t (since I <= min and
+            # union >= max), so size-incompatible pairs are dropped at
+            # the posting meeting itself — BEFORE the distinct and the
+            # array verify — with no false negatives. On length-diverse
+            # corpora this cuts candidates ~2-3x for free (it rides the
+            # same join, no extra shuffle).
+            # 1e-9 slack: t*n is inexact in binary (0.7*10 may round a
+            # hair above 7), and a false NEGATIVE here would break
+            # exactness; extra candidates just pay the verify.
+            & (F.col("_na") >= F.lit(threshold) * F.col("_nb") - 1e-9)
+            & (F.col("_nb") >= F.lit(threshold) * F.col("_na") - 1e-9)
+        )
         .select("a_id", "b_id")
         .distinct()
     )
