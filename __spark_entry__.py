@@ -60,10 +60,11 @@ _PRIORITY = [
     "q86_window_distinct", "q87_snapshot_diff", "q88_scd2_intervals",
     "q89_fuzzy_probe",
     "q39_ann_ivf",  # NEW oracle this round (planted duplicate vectors)
+    "q91_ann_ivfpq",  # NEW query this round (IVF-PQ; needs first evidence)
     # backfill to 50 from the r7-green set, name order
     "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
     "q04_range_fetch", "q05_retention_filter", "q06_filter",
-    "q07_projection_math", "q12_anti_join", "q13_cross_join",
+    "q07_projection_math", "q12_anti_join",
 ]
 
 

@@ -166,6 +166,222 @@ def search_exact(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes + asymmetric-distance search + exact rerank
+# ---------------------------------------------------------------------------
+#
+# The memory story ADC exists for: a 64-dim float32 vector is 256 bytes;
+# its PQ code (8 subspaces x 16 codewords = 4 bits each) is ONE 32-bit
+# word — 64x smaller. At 100 TB of embeddings the codes table fits where
+# the raw vectors cannot, so the candidate scan reads (vec_id, cell,
+# pq_code) only; raw vectors are touched just for the bounded rerank set
+# (queries x rerank rows, broadcast back against the corpus). Jegou et
+# al., "Product Quantization for Nearest Neighbor Search" (TPAMI 2011) —
+# public literature, same recipe as every IVF-PQ deployment.
+
+
+def train_pq_codebooks(
+    n: DataFrame, m: int = 8, ks: int = 16, iters: int = 8, sample: int = 4096
+) -> "list[list[list[float]]]":
+    """Per-subspace Euclidean k-means over the SAME bounded deterministic
+    sample as ``train_centroids`` (lowest ``sample`` vec_ids' unit
+    vectors; seeds = the first ``ks`` sub-vectors). Returns
+    ``codebooks[m][ks][dim/m]`` as plain Python floats — 8*16*8 = 1024
+    doubles, literal-inlinable. Driver-side numpy for the same reason as
+    the IVF centroids: Lloyd never runs over the full corpus; only the
+    codebook matrix leaves the driver."""
+    import numpy as np
+
+    rows = (
+        n.where(F.col("vec_id") < sample)
+        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < sample:
+        rows = (
+            n.select(
+                "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
+            )
+            .orderBy("vec_id")
+            .limit(sample)
+            .collect()
+        )
+    X = np.array([r["u"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d : (j + 1) * d]
+        C = S[:ks].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(d2, axis=1)
+            for c in range(ks):
+                members = S[cell == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in cw] for cw in C])
+    return books
+
+
+def _subspace_slices(dim: int, m: int) -> "list[tuple[int, int]]":
+    d = dim // m
+    return [(j * d + 1, d) for j in range(m)]  # 1-based for SQL slice()
+
+
+def _lit_book(book: "list[list[float]]") -> Column:
+    """Codebook as a literal array<array<double>> column (builder API —
+    no string round-trip, so float reprs never hit the SQL parser)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in cw]) for cw in book]
+    )
+
+
+def encode_pq(
+    n: DataFrame, books: "list[list[list[float]]]"
+) -> DataFrame:
+    """(vec_id, v, nrm, ...) → + ``pq`` (one LONG packing all m 4-bit
+    codes). Pure map-side projection over literal codebooks — the same
+    no-corpus-shuffle shape as ``assign_cells``; the index build rides
+    the parquet scan. Codes quantize the UNIT vector, so ADC inner
+    products approximate cosine directly."""
+    m, ks, d = len(books), len(books[0]), len(books[0][0])
+    dim = m * d
+    unit = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    code_cols = []
+    for j, (off, _) in enumerate(_subspace_slices(dim, m)):
+        sub = F.slice(unit, off, d)
+        # argmin ||u_j - cw||^2, first-match tiebreak = lowest code
+        dists = F.transform(
+            _lit_book(books[j]),
+            lambda cw: F.aggregate(
+                F.zip_with(cw, sub, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ),
+        )
+        code_cols.append(
+            F.shiftleft(
+                (
+                    F.array_position(dists, F.array_min(dists)) - 1
+                ).cast("long"),
+                4 * j,
+            )
+        )
+    packed = code_cols[0]
+    for c in code_cols[1:]:
+        packed = packed + c
+    return n.withColumn("pq", packed)
+
+
+def pq_lut(
+    books: "list[list[list[float]]]", vec: str = "q_v", nrm: str = "q_nrm"
+) -> Column:
+    """array<array<double>> — per subspace, dot(query_unit_j, codeword_c)
+    for every codeword. All-literal codebooks; evaluated once per PROBE
+    row (the small side), never per candidate."""
+    m, d = len(books), len(books[0][0])
+    dim = m * d
+    unit = F.transform(F.col(vec), lambda x: x / F.col(nrm))
+    luts = []
+    for j, (off, _) in enumerate(_subspace_slices(dim, m)):
+        sub = F.slice(unit, off, d)
+        luts.append(
+            F.transform(
+                _lit_book(books[j]),
+                lambda cw: F.aggregate(
+                    F.zip_with(cw, sub, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p,
+                ),
+            )
+        )
+    return F.array(*luts)
+
+
+def search_ivf_pq(
+    assigned_pq: DataFrame,
+    n: DataFrame,
+    cents: "list[tuple[int, list[float]]]",
+    books: "list[list[list[float]]]",
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 6,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-ADC top-k with exact rerank.
+
+    1. Probe the ``nprobe`` nearest cells per query (as ``search_ivf``).
+    2. Rank candidates by the ASYMMETRIC distance — the code-table lookup
+       ``sum_j lut[j][code_j]`` — reading ONLY (vec_id, cell, pq) from
+       the corpus-sized side; keep the ``rerank`` best per query.
+    3. Re-score that bounded set exactly against the raw vectors
+       (broadcast the candidate ids into one corpus join) and return the
+       true-cosine top-k.
+
+    Exactness contract: equal to ``search_ivf`` whenever the true top-k
+    of the probed cells survives the ADC cut — guaranteed-checkable, and
+    pinned on planted duplicates (a clone's source is the global ADC
+    argmax for it: codes quantize unit vectors and clone_u == source_u).
+    """
+    from pyspark.sql import Window
+
+    m = len(books)
+    probes = (
+        queries.withColumn(
+            "sims", centroid_sims(cents, vec="q_v", nrm="q_nrm")
+        )
+        .withColumn(
+            "pc",
+            F.expr(
+                "slice(array_sort(transform(sims, "
+                f"(s, i) -> struct(-s AS ns, i AS c_id))), 1, {int(nprobe)})"
+            ),
+        )
+        .withColumn("lut", pq_lut(books))
+        .select(
+            "q_id", "q_v", "q_nrm", "lut",
+            F.explode("pc.c_id").alias("cell"),
+        )
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
+        "lut[j][CAST(shiftright(pq, 4 * j) & 15 AS INT)])"
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), "n_id"
+    )
+    cand = (
+        assigned_pq.select("vec_id", "cell", "pq")
+        .join(F.broadcast(probes), "cell", "inner")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "q_v", "q_nrm", F.col("vec_id").alias("n_id"),
+            adc.alias("adc"),
+        )
+        .withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= rerank)
+        .drop("adc", "_r")
+    )
+    dot = F.expr(_DOT.format(a="q_v", b="v"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        n.select(F.col("vec_id").alias("n_id"), "v", "nrm")
+        .join(F.broadcast(cand), "n_id", "inner")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 3).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def queries_from(n: DataFrame, ids: "list[int]") -> DataFrame:
     """Select query vectors out of a normalized corpus by id."""
     return n.where(F.col("vec_id").isin([int(i) for i in ids])).select(

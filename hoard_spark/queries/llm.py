@@ -778,6 +778,93 @@ def q39(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     )
 
 
+@query(
+    "q91_ann_ivfpq",
+    "IVF-PQ ANN (4-bit product-quantized codes + ADC scan + exact "
+    "rerank) over the planted-duplicate corpus: each cloned probe must "
+    "return its source as the exact top-1",
+    # Same ground truth as q39: brute-force exact kNN restricted to the
+    # planted probes. The ENGINE path is entirely different — the
+    # candidate scan reads one packed LONG per vector (64x smaller than
+    # the raw float32 vector) and ranks by code-table lookups; only the
+    # bounded rerank set ever touches raw vectors.
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + {_ANN_OFFSET} AS vec_id, v FROM e
+        WHERE vec_id % {_ANN_STEP} = 0
+    ),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM aug),
+    q AS (SELECT * FROM n WHERE vec_id >= {_ANN_OFFSET}),
+    scored AS (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               ROUND(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 3) AS cos
+        FROM q JOIN n ON q.vec_id <> n.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, n_id, cos FROM ranked WHERE rn = 1 ORDER BY q_id
+    """,
+    "training-data pipeline: memory-compressed ANN — the 100 TB shape "
+    "where raw vectors do not fit the scan (Jegou et al., TPAMI 2011)",
+)
+def q91(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
+    """IVF-PQ conformance on planted duplicates (the q39 corpus): the
+    ADC path must find each clone's source as top-1 from 4-bit codes
+    alone (clone_u == source_u, so the source is the global ADC argmax
+    for its clone — within reach of any rerank depth), and the exact
+    rerank pins the returned cosine to ground truth.
+
+    Plan shape: codebooks + centroids train driver-side on the bounded
+    sample; encoding and cell assignment are one map-side projection
+    (no corpus shuffle); the ADC scan shuffles only (vec_id, cell, pq)
+    candidates; raw vectors are read for the rerank set via one
+    broadcast join. Genuine-neighbor agreement with the uncompressed
+    IVF path is pinned in tests/test_ann.py (rerank=128 reproduces
+    search_ivf exactly at sf0.01)."""
+    from hoard_spark.ann import (
+        assign_cells,
+        encode_pq,
+        normalized,
+        search_ivf_pq,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    clones = emb.where(F.col("vec_id") % _ANN_STEP == 0).select(
+        (F.col("vec_id") + F.lit(_ANN_OFFSET)).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    n = normalized(aug)
+    cents = _kmeans_centroids(n)
+    books = train_pq_codebooks(n)
+    probes = n.where(F.col("vec_id") >= _ANN_OFFSET).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        search_ivf_pq(
+            encode_pq(assign_cells(n, cents), books),
+            n,
+            cents,
+            books,
+            probes,
+            k=1,
+            nprobe=nprobe,
+            rerank=32,
+        )
+        .select("q_id", "n_id", "cos")
+        .orderBy("q_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q40-q43: text analysis
 # ---------------------------------------------------------------------------

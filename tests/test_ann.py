@@ -13,11 +13,14 @@ from pyspark.sql import functions as F
 
 from hoard_spark.ann import (
     assign_cells,
+    encode_pq,
     normalized,
     queries_from,
     search_exact,
     search_ivf,
+    search_ivf_pq,
     train_centroids,
+    train_pq_codebooks,
 )
 from hoard_spark.queries import all_queries, release_caches
 
@@ -98,3 +101,85 @@ def test_external_queries_not_in_corpus(spark, emb):
     top = {r["q_id"]: (r["n_id"], r["cos"]) for r in got if r["rn"] == 1}
     for q_id, (n_id, cos) in top.items():
         assert n_id == q_id - 1_000_000 and cos == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product-quantized codes + ADC + exact rerank)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebooks_deterministic_shape(spark, emb):
+    n = normalized(emb)
+    b1 = train_pq_codebooks(n, m=8, ks=16)
+    b2 = train_pq_codebooks(n, m=8, ks=16)
+    assert b1 == b2  # bounded ordered sample + numpy float64 => bit-stable
+    assert len(b1) == 8 and all(len(bj) == 16 for bj in b1)
+    dim = len(n.select("v").first()["v"])
+    assert all(len(cw) == dim // 8 for bj in b1 for cw in bj)
+
+
+def test_pq_codes_pack_into_one_word(spark, emb):
+    """The storage contract the whole feature exists for: every vector's
+    code is ONE long in [0, 2^32) — 4 bits x 8 subspaces — vs 8 bytes x
+    dim for the raw doubles."""
+    n = normalized(emb)
+    books = train_pq_codebooks(n)
+    enc = encode_pq(n, books)
+    assert dict(enc.dtypes)["pq"] == "bigint"
+    bounds = enc.agg(
+        F.min("pq").alias("lo"), F.max("pq").alias("hi")
+    ).first()
+    assert 0 <= bounds["lo"] <= bounds["hi"] < 2**32
+    # codes must discriminate: a corpus of random vectors can't collapse
+    # to a handful of distinct codes
+    assert enc.select("pq").distinct().count() > enc.count() // 2
+
+
+def test_pq_planted_clone_is_exact_top1(spark, emb):
+    """The q91 conformance contract at library level: an exact clone's
+    source must come back as top-1 with cos == 1.0 from the 4-bit-code
+    scan (clone_u == source_u, so the source is the clone's global ADC
+    argmax; the exact rerank pins the cosine)."""
+    clones = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") % 100 == 0)
+    n = normalized(emb.select("vec_id", "embedding").unionByName(clones))
+    cents = train_centroids(n)
+    books = train_pq_codebooks(n)
+    enc = encode_pq(assign_cells(n, cents), books)
+    probes = n.where(F.col("vec_id") >= 1_000_000).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    got = search_ivf_pq(
+        enc, n, cents, books, probes, k=1, nprobe=6, rerank=32
+    ).collect()
+    assert got and len(got) == probes.count()
+    for r in got:
+        assert r["n_id"] == r["q_id"] - 1_000_000
+        assert r["cos"] == pytest.approx(1.0)
+
+
+def test_pq_rerank_reproduces_uncompressed_ivf(spark, emb):
+    """With enough rerank depth the ADC cut keeps the probed cells' true
+    top-k, so IVF-PQ == IVF exactly (same probing, same ranking). Depth
+    128 reproduces search_ivf at this corpus; q91 runs depth 32 because
+    its planted probes need only the guaranteed ADC argmax."""
+    n = normalized(emb)
+    cents = train_centroids(n)
+    books = train_pq_codebooks(n)
+    assigned = assign_cells(n, cents)
+    qs = queries_from(n, range(10))
+    ivf = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf(assigned, cents, qs, k=3, nprobe=6).collect()
+    }
+    pq = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf_pq(
+            encode_pq(assigned, books), n, cents, books, qs,
+            k=3, nprobe=6, rerank=128,
+        ).collect()
+    }
+    assert ivf and pq == ivf

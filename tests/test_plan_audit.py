@@ -197,6 +197,19 @@ def test_ann_ivf_assignment_is_map_side(spark):
     assert n_shuffles <= 2, f"{n_shuffles} corpus shuffles:\n{plan}"
 
 
+def test_ann_ivfpq_adc_scan_and_broadcast_rerank(spark):
+    """q91: the PQ encode + cell assignment must stay map-side (no
+    centroid/codebook join of any kind), the ADC candidate meeting and
+    the rerank vector fetch must both be BROADCAST joins (probes and the
+    bounded rerank set are the small sides; the corpus is never the
+    build side), and nothing may go cartesian."""
+    plan = plan_of(REG["q91_ann_ivfpq"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_scalar_subquery_is_single_scan_no_join(spark):
     """q75's window form must answer the correlated-subquery semantics
     with ONE scan of orders and ONE shuffle on o_custkey — no self-join
