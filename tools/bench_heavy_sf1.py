@@ -33,6 +33,7 @@ HEAVY = [
     "q51_dedup_clusters",
     "q79_simjoin_threshold",
     "q90_topk_simjoin_ladder",
+    "q91_ann_ivfpq",  # round 8: PQ encode + ADC scan + exact rerank
 ]
 
 
@@ -160,7 +161,11 @@ def main() -> None:
         "slope back to ~linear on the identical corpus and plan — the "
         "production guidance is shingle-domain >> corpus size (real "
         "open-vocabulary corpora satisfy this at width 3-5), and the "
-        "LSH path (q35) for corpora that cannot."
+        "LSH path (q35) for corpora that cannot. q91 (round 8) is the "
+        "IVF-PQ path: codebook training is sample-bounded (constant), "
+        "encode + assignment ride the corpus scan, and the ADC meeting "
+        "probes a constant cell fraction — expected slope ~linear in "
+        "corpus size at fixed probe count."
     )
     (REPO / "tools" / "bench_heavy_sf1.json").write_text(
         json.dumps(out, indent=1) + "\n"
