@@ -108,13 +108,23 @@ def search_ivf(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 6,
+    where: "Column | str | None" = None,
 ) -> DataFrame:
     """IVF top-k: per query probe the ``nprobe`` nearest cells, rank only
     those candidates. ``assigned`` = ``assign_cells`` output; ``queries``
     = (q_id, q_v, q_nrm). Output: (q_id, n_id, cos, rn), ties broken by
-    n_id. Self-matches (q_id == n_id) are excluded."""
+    n_id. Self-matches (q_id == n_id) are excluded.
+
+    ``where`` (filtered / pre-filter ANN): an optional predicate over the
+    corpus columns, applied to the ASSIGNED table before the candidate
+    meeting — i.e. it reaches the corpus scan, where Parquet pushdown and
+    pruning act on it, and the top-k is exact over the filtered corpus
+    (never "search first, filter after", which under-fills k whenever a
+    popular neighborhood fails the predicate)."""
     from pyspark.sql import Window
 
+    if where is not None:
+        assigned = assigned.where(where)
     probes = (
         queries.withColumn(
             "sims",
@@ -312,6 +322,7 @@ def search_ivf_pq(
     k: int = 3,
     nprobe: int = 6,
     rerank: int = 32,
+    where: "Column | str | None" = None,
 ) -> DataFrame:
     """IVF-ADC top-k with exact rerank.
 
@@ -327,9 +338,15 @@ def search_ivf_pq(
     of the probed cells survives the ADC cut — guaranteed-checkable, and
     pinned on planted duplicates (a clone's source is the global ADC
     argmax for it: codes quantize unit vectors and clone_u == source_u).
+
+    ``where``: optional corpus predicate, applied BEFORE the ADC meeting
+    (pre-filter ANN — same semantics as ``search_ivf``); the rerank set
+    is then drawn from the filtered candidates only.
     """
     from pyspark.sql import Window
 
+    if where is not None:
+        assigned_pq = assigned_pq.where(where)
     m = len(books)
     probes = (
         queries.withColumn(

@@ -161,6 +161,38 @@ def test_pq_planted_clone_is_exact_top1(spark, emb):
         assert r["cos"] == pytest.approx(1.0)
 
 
+def test_filtered_search_is_prefilter_exact(spark, emb):
+    """Filtered ANN (`where=`) must behave as PRE-filter: the top-k is
+    taken over the corpus rows passing the predicate — equal to brute
+    force over the filtered corpus (post-filtering a top-k under-fills
+    k when good neighbors fail the predicate). Both the IVF and the
+    IVF-PQ paths; rerank deep enough that the ADC cut is exhaustive."""
+    n = normalized(emb)
+    cents = train_centroids(n)
+    books = train_pq_codebooks(n)
+    assigned = assign_cells(n, cents)
+    qs = queries_from(n, range(10))
+    pred = (F.col("vec_id") % 2 == 0) & (F.col("vec_id") >= 10)
+    want = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_exact(n.where(pred), qs, k=3).collect()
+    }
+    ivf = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf(
+            assigned, cents, qs, k=3, nprobe=8, where=pred
+        ).collect()
+    }
+    pq = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf_pq(
+            encode_pq(assigned, books), n, cents, books, qs,
+            k=3, nprobe=8, rerank=10**6, where=pred,
+        ).collect()
+    }
+    assert want and ivf == want and pq == want
+
+
 def test_pq_rerank_reproduces_uncompressed_ivf(spark, emb):
     """With enough rerank depth the ADC cut keeps the probed cells' true
     top-k, so IVF-PQ == IVF exactly (same probing, same ranking). Depth
