@@ -61,10 +61,11 @@ _PRIORITY = [
     "q89_fuzzy_probe",
     "q39_ann_ivf",  # NEW oracle this round (planted duplicate vectors)
     "q91_ann_ivfpq",  # NEW query this round (IVF-PQ; needs first evidence)
+    "q92_ann_filtered",  # NEW query this round (filtered vector search)
     # backfill to 50 from the r7-green set, name order
     "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
     "q04_range_fetch", "q05_retention_filter", "q06_filter",
-    "q07_projection_math", "q12_anti_join",
+    "q07_projection_math",
 ]
 
 

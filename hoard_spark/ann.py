@@ -30,26 +30,40 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p
 
 
 def normalized(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: "list[str] | None" = None,
+    persist: bool = True,
 ) -> DataFrame:
     """(id, vector) → (vec_id, v: array<double>, nrm), persisted.
+
+    ``keep`` carries extra corpus columns (metadata used by filtered
+    search predicates, e.g. a label/partition column) through unchanged.
 
     The persist is the InMemoryRelation barrier that stops Catalyst from
     inlining the norm expression into both sides of downstream
     self-joins; ``spread`` parallelizes the per-vector math when the
-    input is a narrow single-file scan.
+    input is a narrow single-file scan. Pass ``persist=False`` when the
+    corpus is consumed by a single search pass with a pre-filter
+    predicate: an InMemoryRelation would also BLOCK parquet predicate
+    pushdown, so an unpersisted corpus is what lets a filtered search
+    read only the predicate-selected row groups (plan-pinned in
+    tests/test_plan_audit.py::test_ann_filtered_predicate_reaches_scan).
     """
     from hoard_spark.queries import spread, track_cache
 
     v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-    return track_cache(
+    extra = [F.col(c) for c in (keep or [])]
+    out = (
         spread(emb)
-        .select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .select(F.col(id_col).alias("vec_id"), v.alias("v"), *extra)
         .withColumn(
             "nrm",
             F.sqrt(F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")),
         )
     )
+    return track_cache(out) if persist else out
 
 
 def train_centroids(

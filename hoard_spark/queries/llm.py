@@ -865,6 +865,115 @@ def q91(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     )
 
 
+# Filtered-ANN planting (q92): alongside the +_ANN_OFFSET probe clones,
+# a SECOND clone of every source lands at +_ANN_ALT_OFFSET with the
+# planted label 999. The search predicate admits labels {0, 999} only, so
+# for every probe the filtered corpus deterministically contains its
+# cos = 1.0 alt-clone, plus the original source iff the source's label
+# happens to be 0 — and the rank-1 tiebreak (lowest n_id) picks the
+# source exactly when it survives the filter. A post-filter
+# implementation fails this corpus outright: the unfiltered top-1 is the
+# source, which the predicate removes for ~90% of probes.
+_ANN_ALT_OFFSET = 2_000_000
+_ANN_FILTER_LABEL = 999
+
+
+@query(
+    "q92_ann_filtered",
+    "filtered (pre-filter) vector search: IVF top-1 restricted to a "
+    "label class, exact over the filtered corpus by planted clones",
+    # Oracle = brute-force kNN over the label-filtered corpus, restricted
+    # to the planted probes. The ENGINE applies the same predicate to the
+    # assigned table BEFORE the candidate meeting (hoard_spark/ann.py
+    # search_ivf(where=...)), so the label filter reaches the parquet
+    # scan while the probe set still guarantees the exact answer.
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    corpus AS (
+        SELECT vec_id, v, label FROM e
+        UNION ALL
+        SELECT vec_id + {_ANN_ALT_OFFSET} AS vec_id, v,
+               {_ANN_FILTER_LABEL} AS label
+        FROM e WHERE vec_id % {_ANN_STEP} = 0
+    ),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm, label
+          FROM corpus),
+    filt AS (SELECT * FROM n WHERE label IN (0, {_ANN_FILTER_LABEL})),
+    probes AS (
+        SELECT vec_id + {_ANN_OFFSET} AS q_id, v,
+               SQRT(list_dot_product(v, v)) AS nrm
+        FROM e WHERE vec_id % {_ANN_STEP} = 0
+    ),
+    scored AS (
+        SELECT p.q_id, f.vec_id AS n_id,
+               ROUND(list_dot_product(p.v, f.v) / (p.nrm * f.nrm), 3) AS cos
+        FROM probes p JOIN filt f ON p.q_id <> f.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, n_id, cos FROM ranked WHERE rn = 1 ORDER BY q_id
+    """,
+    "training-data pipeline: filtered vector search (metadata predicate "
+    "+ ANN in one pass — the RAG/retrieval shape; post-filtering a "
+    "finished top-k under-fills k, the standard pitfall)",
+)
+def q92(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
+    """Filtered vector search conformance: top-1 neighbor restricted to
+    corpus rows with ``label IN (0, 999)``, where 999 marks planted
+    alt-clones of every probe's source (cos = 1.0 by construction, same
+    IVF cell as the probe — found at any nprobe). Exactness over the
+    FILTERED corpus is therefore deterministic: rank-1 is the lowest-id
+    cos-1.0 candidate, i.e. the source itself when its label is 0, else
+    the alt-clone — precisely what the brute-force oracle computes.
+
+    The predicate enters ``search_ivf(where=...)`` and lands on the
+    assigned table before the candidate meeting — Catalyst pushes it
+    through the map-side cell projection into the parquet scan
+    (pinned in tests/test_plan_audit.py), so at 100 TB the filtered
+    search reads only the label-selected row groups."""
+    from hoard_spark.ann import assign_cells, normalized, search_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    sources = emb.where(F.col("vec_id") % _ANN_STEP == 0)
+    alt = sources.select(
+        (F.col("vec_id") + F.lit(_ANN_ALT_OFFSET)).alias("vec_id"),
+        "embedding",
+        F.lit(_ANN_FILTER_LABEL).alias("label"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(alt)
+    # unpersisted on purpose: an InMemoryRelation would block parquet
+    # pushdown of the label predicate (see ann.normalized docstring)
+    n = normalized(corpus, keep=["label"], persist=False)
+    cents = _kmeans_centroids(n)
+    probes = normalized(
+        sources.select(
+            (F.col("vec_id") + F.lit(_ANN_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        search_ivf(
+            assign_cells(n, cents),
+            cents,
+            probes,
+            k=1,
+            nprobe=nprobe,
+            where=F.col("label").isin(0, _ANN_FILTER_LABEL),
+        )
+        .select("q_id", "n_id", "cos")
+        .orderBy("q_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # q40-q43: text analysis
 # ---------------------------------------------------------------------------

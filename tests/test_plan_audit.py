@@ -210,6 +210,22 @@ def test_ann_ivfpq_adc_scan_and_broadcast_rerank(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ann_filtered_predicate_reaches_scan(spark):
+    """q92: the pre-filter predicate must land on the PARQUET SCAN of the
+    embeddings corpus (pushed through the map-side cell-assignment
+    projection), not sit above the candidate join — at 100 TB the
+    filtered search reads only the label-selected row groups. Same
+    map-side/broadcast discipline as unfiltered IVF."""
+    plan = plan_of(REG["q92_ann_filtered"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    compact = plan.replace(" ", "")
+    assert re.search(r"PushedFilters:\[[^\]]*In\(label", compact), plan
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles <= 2, f"{n_shuffles} corpus shuffles:\n{plan}"
+
+
 def test_scalar_subquery_is_single_scan_no_join(spark):
     """q75's window form must answer the correlated-subquery semantics
     with ONE scan of orders and ONE shuffle on o_custkey — no self-join
