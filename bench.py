@@ -51,6 +51,11 @@ NOTES = {
         "cold timing includes building + persisting the corpus cluster "
         "table artifact that q67 then reuses"
     ),
+    "q39_ann_ivf": (
+        "cold timing includes building + persisting the corpus-keyed "
+        "IVF-PQ index artifact (train + assign + encode) that q91 then "
+        "reuses as a plain parquet scan"
+    ),
     "q24_ntile": (
         "distributed two-pass exact NTILE (range partition + offset "
         "arithmetic); pays one extra small job locally to avoid the "

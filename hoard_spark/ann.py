@@ -13,8 +13,10 @@ Scale shape (the one the conformance queries pin):
   map-side. NO shuffle of the corpus for the index.
 - **Search** probes the ``nprobe`` nearest cells per query and shuffles
   only the candidate set for the final top-k ranking.
-- The assignment table can be materialized per corpus version via
-  ``hoard_spark.artifacts.get_or_build`` and reused by every search.
+- The index (centroids + PQ codebooks + the assigned/encoded corpus) is
+  materialized per corpus version via ``materialized_index`` (backed by
+  ``hoard_spark.artifacts.get_or_build``) and reused by every search —
+  q39 pays the one-time build, q91 searches the same parquet artifact.
 
 No reference analog (the reference is a time-series store,
 src/hoard.coffee); this is the training-data similarity surface the
@@ -411,6 +413,88 @@ def search_ivf_pq(
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+def materialized_index(
+    spark,
+    sf_dir: str,
+    corpus_builder: "Callable[[], DataFrame]",
+    name: str,
+    tables: "tuple[str, ...]" = ("embeddings",),
+    k: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    keep: "list[str] | None" = None,
+) -> "tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]]]":
+    """Corpus-keyed materialized IVF-PQ index: ``(table, cents, books)``.
+
+    Two artifacts per (corpus fingerprint, name) via
+    ``hoard_spark.artifacts.get_or_build`` — the same persisted-table
+    pattern as the near-dup cluster table (queries/llm.py q51/q67):
+
+    - ``<name>_model``: the k unit centroids and the m×ks PQ codebooks
+      (a few hundred tiny rows; trained on the bounded deterministic
+      sample only on first build).
+    - ``<name>_table``: the corpus with ``cell`` and ``pq`` attached —
+      one map-side assignment+encode pass, written once. Every
+      subsequent search is a plain parquet scan: no training collects,
+      no giant encode expression in the consumer's plan, and the ADC
+      path reads just (vec_id, cell, pq) columns.
+
+    This is the 100 TB shape the module docstring promises: materialize
+    the assignment per corpus version, search against it everywhere.
+    ``corpus_builder`` must be deterministic given the corpus tables
+    (it only runs on a cold store). Bake index params into ``name``
+    when varying them — the fingerprint keys on corpus files, not on
+    builder code.
+    """
+    from pyspark.sql import types as T
+
+    from hoard_spark.artifacts import get_or_build
+
+    model_schema = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def build_model() -> DataFrame:
+        n = normalized(corpus_builder(), keep=keep)
+        cents = train_centroids(n, k=k)
+        books = train_pq_codebooks(n, m=m, ks=ks)
+        rows = [("cent", i, 0, v) for i, v in cents] + [
+            ("book", j, c, cw)
+            for j, bj in enumerate(books)
+            for c, cw in enumerate(bj)
+        ]
+        return spark.createDataFrame(rows, schema=model_schema)
+
+    model = get_or_build(
+        spark, sf_dir, f"{name}_model", tables, build_model
+    ).collect()
+    cents = sorted(
+        (r["i"], list(r["vec"])) for r in model if r["kind"] == "cent"
+    )
+    book_rows = {
+        (r["i"], r["j"]): list(r["vec"])
+        for r in model
+        if r["kind"] == "book"
+    }
+    books = [
+        [book_rows[(j, c)] for c in range(ks)] for j in range(m)
+    ]
+
+    def build_table() -> DataFrame:
+        n = normalized(corpus_builder(), keep=keep)
+        return encode_pq(assign_cells(n, cents), books)
+
+    table = get_or_build(
+        spark, sf_dir, f"{name}_table", tables, build_table
+    )
+    return table, cents, books
 
 
 def queries_from(n: DataFrame, ids: "list[int]") -> DataFrame:

@@ -193,6 +193,58 @@ def test_filtered_search_is_prefilter_exact(spark, emb):
     assert want and ivf == want and pq == want
 
 
+def test_materialized_index_builds_once_and_reuses(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The corpus-keyed index artifact (materialized_index): first call
+    trains + encodes and persists; a second call must NOT re-run the
+    corpus builder (poisoned builder proves it) and must return the
+    identical model and search results — the q39/q91 sharing contract."""
+    from hoard_spark.ann import materialized_index
+
+    monkeypatch.setenv("HOARD_SPARK_ARTIFACTS", str(tmp_path))
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        return emb.select("vec_id", "embedding")
+
+    t1, c1, b1 = materialized_index(spark, SF_DIR, builder, name="t")
+    assert calls["n"] >= 1
+    # the artifact table must agree with the directly-built index
+    n = normalized(emb)
+    direct = assign_cells(n, c1)
+    qs = queries_from(n, range(5))
+    want = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf(direct, c1, qs, k=3).collect()
+    }
+    got1 = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf(t1, c1, qs, k=3).collect()
+    }
+    assert want and got1 == want
+
+    def poisoned():
+        raise AssertionError("corpus builder re-ran on a warm store")
+
+    t2, c2, b2 = materialized_index(spark, SF_DIR, poisoned, name="t")
+    assert c2 == c1 and b2 == b1
+    got2 = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf(t2, c2, qs, k=3).collect()
+    }
+    assert got2 == want
+    # and the ADC path over the same artifact agrees at full rerank depth
+    pq = {
+        (r["q_id"], r["rn"], r["n_id"])
+        for r in search_ivf_pq(
+            t2, t2, c2, b2, qs, k=3, rerank=10**6
+        ).collect()
+    }
+    assert pq == want
+
+
 def test_pq_rerank_reproduces_uncompressed_ivf(spark, emb):
     """With enough rerank depth the ADC cut keeps the probed cells' true
     top-k, so IVF-PQ == IVF exactly (same probing, same ranking). Depth
