@@ -62,10 +62,10 @@ _PRIORITY = [
     "q39_ann_ivf",  # NEW oracle this round (planted duplicate vectors)
     "q91_ann_ivfpq",  # NEW query this round (IVF-PQ; needs first evidence)
     "q92_ann_filtered",  # NEW query this round (filtered vector search)
+    "q93_ann_lsh",  # NEW query this round (LSH-bucketed ANN)
     # backfill to 50 from the r7-green set, name order
     "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
     "q04_range_fetch", "q05_retention_filter", "q06_filter",
-    "q07_projection_math",
 ]
 
 

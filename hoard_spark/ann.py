@@ -415,6 +415,149 @@ def search_ivf_pq(
     )
 
 
+# ---------------------------------------------------------------------------
+# LSH-bucketed search: random-hyperplane (SimHash) signatures + band join
+# ---------------------------------------------------------------------------
+#
+# The third scale path next to IVF and IVF-PQ (Charikar, STOC 2002 —
+# random hyperplane rounding for cosine). Where IVF needs trained
+# centroids, LSH needs none: h fixed hyperplanes turn every vector into
+# an h-bit signature map-side; vectors meet through an equi-join on
+# signature BANDS (two cosine-similar vectors agree on most bits, so
+# they collide on at least one band with high probability). No training
+# collects, no index artifact — the right choice for corpora that churn
+# faster than an index can be rebuilt.
+
+
+def hyperplanes(
+    dim: int, h: int = 16, seed: int = 7
+) -> "list[list[float]]":
+    """h deterministic pseudo-random hyperplanes. Derived from md5 of
+    (seed, i, j) — platform- and library-version-independent, so
+    signatures are stable across environments (a numpy RNG would pin
+    the result to the RNG implementation)."""
+    import hashlib
+
+    planes = []
+    for i in range(h):
+        row = []
+        for j in range(dim):
+            d = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+            u = int.from_bytes(d[:8], "big") / float(1 << 64)
+            row.append(2.0 * u - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(
+    planes: "list[list[float]]", vec: str = "v"
+) -> Column:
+    """h-bit SimHash signature packed into one LONG — bit i is
+    sign(dot(vec, plane_i)). Pure codegen projection over literal
+    hyperplanes: the signature build rides the scan map-side, the same
+    no-corpus-shuffle shape as IVF cell assignment."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec),
+                F.array(*[F.lit(x) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.shiftleft(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def _bands(sig: Column, bands: int, band_bits: int) -> Column:
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_i"),
+                F.shiftright(sig, i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_v"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def search_lsh(
+    n: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    h: int = 16,
+    bands: int = 2,
+    seed: int = 7,
+    where: "Column | str | None" = None,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: rank only corpus rows that share at
+    least one signature band with the query. Same output contract as
+    ``search_ivf`` (q_id, n_id, cos, rn; ties by n_id; self-matches
+    excluded); ``where`` is the same pre-filter semantics.
+
+    Positioning: LSH banding is a HIGH-similarity retriever — band
+    collision probability is (1 - theta/pi)^band_bits per band, so at
+    cos ~0.99 a pair collides with ~95% probability (recall floor
+    pinned on noisy clones in tests/test_ann.py) while at cos ~0.4
+    (a random corpus's typical nearest neighbor) it is ~5%. Use it for
+    duplicate/near-duplicate retrieval over churning corpora; use the
+    IVF paths for weak-similarity kNN. EXACT for identical vectors: a
+    verbatim clone has a bit-identical signature, so it shares every
+    band with its source and the source is always ranked — the
+    planted-clone conformance trick (q93).
+
+    Plan: signature + band explode are map-side projections on both
+    sides; the probe side broadcasts; one candidate-sized dedup +
+    window shuffle. Never all-pairs. At scale, size ``h``/``bands`` so
+    ``2^(h/bands)`` stays well above the expected per-band bucket load
+    (candidates per probe ~ bands * N / 2^(h/bands)); the defaults fit
+    conformance-sized corpora, a 10^9-row corpus wants band_bits ~24+.
+    """
+    from pyspark.sql import Window
+
+    if where is not None:
+        n = n.where(where)
+    dim = len(n.select("v").first()["v"])
+    planes = hyperplanes(dim, h=h, seed=seed)
+    band_bits = h // bands
+    corpus = n.select(
+        "vec_id", "v", "nrm",
+        F.explode(
+            _bands(lsh_signature(planes, "v"), bands, band_bits)
+        ).alias("b"),
+    ).select("vec_id", "v", "nrm", "b.band_i", "b.band_v")
+    probes = queries.select(
+        "q_id", "q_v", "q_nrm",
+        F.explode(
+            _bands(lsh_signature(planes, "q_v"), bands, band_bits)
+        ).alias("b"),
+    ).select("q_id", "q_v", "q_nrm", "b.band_i", "b.band_v")
+    dot = F.expr(_DOT.format(a="q_v", b="v"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        corpus.join(F.broadcast(probes), ["band_i", "band_v"], "inner")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(dot / (F.col("q_nrm") * F.col("nrm")), 3).alias("cos"),
+        )
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def materialized_index(
     spark,
     sf_dir: str,

@@ -875,6 +875,70 @@ def q91(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     )
 
 
+@query(
+    "q93_ann_lsh",
+    "LSH-bucketed ANN (random-hyperplane signatures + band-bucket join) "
+    "over the planted-duplicate corpus: each cloned probe must return "
+    "its source as the exact top-1",
+    # Same ground truth as q39/q91: brute-force exact kNN restricted to
+    # the planted probes. The ENGINE path needs no trained index at all —
+    # signatures are a map-side projection over fixed hyperplanes and
+    # candidates meet through a band equi-join (Charikar, STOC 2002).
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + {_ANN_OFFSET} AS vec_id, v FROM e
+        WHERE vec_id % {_ANN_STEP} = 0
+    ),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM aug),
+    q AS (SELECT * FROM n WHERE vec_id >= {_ANN_OFFSET}),
+    scored AS (
+        SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+               ROUND(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 3) AS cos
+        FROM q JOIN n ON q.vec_id <> n.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, n_id, cos FROM ranked WHERE rn = 1 ORDER BY q_id
+    """,
+    "training-data pipeline: index-free ANN for corpora that churn "
+    "faster than an index rebuild (the third scale path next to IVF "
+    "and IVF-PQ)",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH conformance on planted duplicates (the q39/q91 corpus): a
+    verbatim clone's signature is bit-identical to its source's, so the
+    pair collides on EVERY band and the band join must surface the
+    source as top-1 (cos = 1.0) — deterministically equal to the
+    brute-force oracle, while genuine-neighbor recall stays pinned at
+    the library level (tests/test_ann.py).
+
+    Plan shape: the 16-bit SimHash signature and its 2-band explode are
+    codegen projections over literal hyperplanes on both sides (no
+    corpus shuffle to build anything, no training collects, no
+    artifact); the probe side broadcasts into the band equi-join and
+    only the candidate set is deduped + ranked."""
+    from hoard_spark.ann import normalized, search_lsh
+
+    n = normalized(_planted_corpus(spark, sf_dir))
+    probes = n.where(F.col("vec_id") >= _ANN_OFFSET).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        search_lsh(n, probes, k=1)
+        .select("q_id", "n_id", "cos")
+        .orderBy("q_id")
+    )
+
+
 # Filtered-ANN planting (q92): alongside the +_ANN_OFFSET probe clones,
 # a SECOND clone of every source lands at +_ANN_ALT_OFFSET with the
 # planted label 999. The search predicate admits labels {0, 999} only, so

@@ -193,6 +193,54 @@ def test_filtered_search_is_prefilter_exact(spark, emb):
     assert want and ivf == want and pq == want
 
 
+def test_lsh_clone_is_exact_top1_and_recall_floor(spark, emb):
+    """LSH-bucketed search (search_lsh): a verbatim clone shares every
+    signature band with its source, so the source MUST come back as
+    top-1 with cos = 1.0 (the q93 conformance contract); and for
+    genuine neighbors the band recall vs the exact baseline must clear
+    a floor at the default h=16/bands=2 setting."""
+    from hoard_spark.ann import search_lsh
+
+    clones = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).where(F.col("vec_id") % 100 == 0)
+    n = normalized(emb.select("vec_id", "embedding").unionByName(clones))
+    probes = n.where(F.col("vec_id") >= 1_000_000).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    got = search_lsh(n, probes, k=1).collect()
+    assert len(got) == probes.count() and got
+    for r in got:
+        assert r["n_id"] == r["q_id"] - 1_000_000
+        assert r["cos"] == pytest.approx(1.0)
+    # high-similarity recall floor: NOISY clones (multiplicative ±10%
+    # perturbation => cos ~0.99 to the source) must still find their
+    # source as top-1 most of the time at the default h=16/bands=2.
+    # (LSH banding is a HIGH-similarity retriever — at cos ~0.4, the
+    # typical nearest neighbor of this random corpus, band collision
+    # probability is ~5%, which is why weak-similarity kNN belongs to
+    # the IVF paths; see search_lsh's docstring.)
+    noisy = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0D + 0.1D * "
+            "sin(CAST(vec_id AS DOUBLE) * 0.7D + CAST(i AS DOUBLE))))"
+        ).alias("embedding"),
+    )
+    base = normalized(emb.select("vec_id", "embedding").unionByName(noisy))
+    nprobes = base.where(F.col("vec_id") >= 2_000_000).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    hits = search_lsh(base, nprobes, k=1).collect()
+    n_probes = nprobes.count()
+    found = sum(1 for r in hits if r["n_id"] == r["q_id"] - 2_000_000)
+    assert found / n_probes >= 0.6, (found, n_probes)
+
+
 def test_materialized_index_builds_once_and_reuses(
     spark, emb, tmp_path, monkeypatch
 ):

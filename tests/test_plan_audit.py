@@ -226,6 +226,18 @@ def test_ann_filtered_predicate_reaches_scan(spark):
     assert n_shuffles <= 2, f"{n_shuffles} corpus shuffles:\n{plan}"
 
 
+def test_ann_lsh_band_join_broadcasts_no_cartesian(spark):
+    """q93: the signature + band explode must be map-side projections
+    (no corpus shuffle to build the 'index'), the band meeting must be
+    a BROADCAST equi-join with the probe side as the build side, and
+    nothing may go cartesian — the index-free ANN shape."""
+    plan = plan_of(REG["q93_ann_lsh"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_scalar_subquery_is_single_scan_no_join(spark):
     """q75's window form must answer the correlated-subquery semantics
     with ONE scan of orders and ONE shuffle on o_custkey — no self-join
