@@ -519,16 +519,18 @@ class HoardEngine:
         metrics: list[str],
         batch: DataFrame | None = None,
         pending: DataFrame | None = None,
+        touched_by_tier: dict[int, set[tuple[str, str]]] | None = None,
     ) -> None:
         """See ``_propagate_many_impl``; serialized by the writer lock."""
         with self._writer_lock():
-            self._propagate_many_impl(metrics, batch, pending)
+            self._propagate_many_impl(metrics, batch, pending, touched_by_tier)
 
     def _propagate_many_impl(
         self,
         metrics: list[str],
         batch: DataFrame | None = None,
         pending: DataFrame | None = None,
+        touched_by_tier: dict[int, set[tuple[str, str]]] | None = None,
     ) -> None:
         """Materialize the rollup cascade for metrics SHARING one policy.
 
@@ -559,8 +561,10 @@ class HoardEngine:
         if not cascade:
             return
 
-        touched_by_tier: dict[int, set[tuple[str, str]]] | None = None
-        if batch is not None:
+        # ``touched_by_tier`` may arrive precomputed (streaming ingest
+        # collects it in the same job that discovers the batch's metrics
+        # and fills the pending cache — no second distinct pass here).
+        if touched_by_tier is None and batch is not None:
             batch = batch.select("metric", "tier", "bucket_ts")
             # (metric, date) pairs affected per cascade tier: rows routed
             # to finer tiers cascade down; rows routed directly to a tier

@@ -96,6 +96,79 @@ def prepare_batch(
     return df.select("metric", "tier", "bucket_ts", "date", "value", "seq", "ts")
 
 
+def policy_dim(spark: SparkSession, by_sig) -> DataFrame:
+    """Broadcast policy dimension for single-pass multi-policy routing.
+
+    ``by_sig`` is ``[(MetricInfo, [metric, ...]), ...]`` — one entry per
+    distinct retention-policy signature. One dimension row per metric:
+    ``(metric, _sig, _max_retention, _archives)`` where ``_archives`` is
+    the tier table ``array<struct<tier, spp, retention>>``.
+
+    The catalog is a driver-side control plane (one JSON file, like the
+    reference's per-file headers), so materializing it as a broadcast dim
+    adds no new scaling assumption; a metastore-backed deployment swaps
+    this for a parquet/Delta dim table and the same join.
+    """
+    rows = []
+    for sid, (info, metrics) in enumerate(by_sig):
+        archives = [
+            (a.tier, a.seconds_per_point, a.retention) for a in info.archives
+        ]
+        for m in metrics:
+            rows.append((m, sid, info.max_retention, archives))
+    schema = (
+        "metric string, _sig int, _max_retention long, "
+        "_archives array<struct<tier:int, spp:long, retention:long>>"
+    )
+    return F.broadcast(spark.createDataFrame(rows, schema))
+
+
+def prepare_batch_multi(df: DataFrame, dim: DataFrame, now: int) -> DataFrame:
+    """Validate, route and align a MULTI-policy batch in one pass.
+
+    The single-policy ``prepare_batch`` bakes the archive table into a
+    ``when``-chain of literals, so a batch spanning P policies costs P
+    scans. Here the archive table rides in on a broadcast dimension join
+    (``policy_dim``) and the routing CASE becomes an array higher-order
+    function over the per-metric tier table — one scan for the whole
+    batch, whatever the policy mix. Per metric the semantics are exactly
+    ``prepare_batch``'s (updateMany batch semantics, silent skip of
+    future/too-old points — src/hoard.coffee:254-277):
+
+    - inner join drops unknown metrics (the stream's dead-letter contract),
+    - ``0 <= age < maxRetention`` validity gate,
+    - route to the finest archive with ``retention >= age`` (the archive
+      list is validated sorted fine->coarse with strictly increasing
+      retention, so ``filter(...)[0]`` IS the reference's first-match
+      scan, src/hoard.coffee:192-198),
+    - align to the routed tier's bucket width.
+
+    Everything stays inside whole-stage codegen: array ``filter`` over a
+    handful of tiers beats a per-policy scan and never leaves the JVM.
+    Output columns: prepare_batch's plus ``_sig`` (policy-group id).
+    """
+    age = F.lit(int(now)) - F.col("ts")
+    arch = F.element_at(
+        F.filter(F.col("_archives"), lambda a: age <= a["retention"]), 1
+    )
+    out = (
+        df.join(dim, "metric")
+        .where((age >= 0) & (age < F.col("_max_retention")))
+        .withColumn("_arch", arch)
+        .withColumn("tier", F.col("_arch")["tier"].cast("int"))
+        .withColumn(
+            "bucket_ts",
+            (F.col("ts") - F.pmod(F.col("ts"), F.col("_arch")["spp"])).cast(
+                "long"
+            ),
+        )
+        .withColumn("date", bucket_date_col(F.col("bucket_ts")))
+    )
+    return out.select(
+        "metric", "tier", "bucket_ts", "date", "value", "seq", "ts", "_sig"
+    )
+
+
 def lww(df: DataFrame) -> DataFrame:
     """Collapse duplicate (metric, tier, bucket_ts) rows to last-write-wins.
 
@@ -135,16 +208,19 @@ class Ingestor:
         column when bucketed — the exact rows ``write`` will append, so a
         caller can cache this frame and reuse it as the rollup pass's
         in-memory ``pending`` view (hoard_spark/streaming/ingest.py)."""
-        prepared = prepare_batch(df, info, now)
+        return self.with_mb(prepare_batch(df, info, now))
+
+    def with_mb(self, df: DataFrame) -> DataFrame:
+        """Add the bucketed layout's ``mb`` column (no-op when unbucketed)."""
         if self.metric_buckets:
-            prepared = prepared.withColumn(
+            df = df.withColumn(
                 "mb",
                 F.pmod(
                     F.crc32(F.col("metric").cast("binary")),
                     F.lit(self.metric_buckets),
                 ).cast("int"),
             )
-        return prepared
+        return df
 
     def append(self, df: DataFrame, info: MetricInfo, now: int) -> DataFrame:
         """Validate + route + append one metric's batch.

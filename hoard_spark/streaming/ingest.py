@@ -21,9 +21,19 @@ true end-to-end idempotence under retries, carry a source ``seq`` so replays
 collapse in the LWW dedup).
 
 Multi-metric batches are grouped by retention-policy signature so each
-distinct policy costs one Spark write per batch, not one per metric — with
-millions of metrics and a handful of policies (the Graphite
+distinct policy costs one cascade write per batch, not one per metric —
+with millions of metrics and a handful of policies (the Graphite
 storage-schemas.conf pattern) this is the 100 TB-scale shape.
+
+Per-batch job budget (round 8, fused): routing joins the batch against a
+broadcast policy dimension (``prepare_batch_multi``), so ONE job both
+fills the prepared cache and collects, for every policy group at once,
+the metrics present and the rollup partitions touched; then the points
+append and the per-policy cascade writes run CONCURRENTLY off that cache
+(both are pure readers of it — the LWW collapse makes any interleaving of
+their disk visibility idempotent). Total: 2 + O(tiers) jobs per
+micro-batch, independent of metric AND policy count, with the append
+hidden under the cascade's wall-clock.
 """
 
 from __future__ import annotations
@@ -31,11 +41,15 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hoard_spark.engine import HoardEngine
+from hoard_spark.functions import bucket_date_col
+from hoard_spark.ingest import policy_dim, prepare_batch_multi
+from hoard_spark.rollup import plan_cascade
 
 
 def _policy_signature(info) -> tuple:
@@ -59,13 +73,7 @@ def ingest_microbatch(
     dropped here (a dead-letter sink is the production extension point).
     """
     now = int(now if now is not None else time.time())
-    # ONE scan answers both "is the batch empty" and "which metrics does
-    # it touch" (round 8 — a separate isEmpty() action cost one extra
-    # job per micro-batch, pure floor at streaming cadence).
-    metrics = [
-        r["metric"] for r in batch_df.select("metric").distinct().collect()
-    ]
-    known = [m for m in metrics if engine.catalog.exists(m)]
+    known = engine.catalog.metrics()
     if not known:
         return
     if "seq" not in batch_df.columns:
@@ -110,42 +118,135 @@ def ingest_microbatch(
         )
     batch_df = batch_df.select("metric", "ts", "value", "seq")
 
-    # One prepare+append per distinct policy signature (routing and
-    # alignment depend only on the policy, never the metric name).
-    by_sig: dict[tuple, list[str]] = {}
+    # Driver-side control plane: group the CATALOG's metrics by policy
+    # signature (routing and alignment depend only on the policy, never
+    # the metric name). The batch's own metric set is discovered by the
+    # fused touched pass below — no separate distinct job, and no
+    # metric-name ``isin`` literal in any plan (a 100k-metric batch
+    # would make that a planning hazard; the broadcast dim join is the
+    # scalable form of the same filter).
+    by_sig: list[tuple] = []
+    sig_index: dict[tuple, int] = {}
     for m in known:
-        by_sig.setdefault(_policy_signature(engine.catalog.info(m)), []).append(m)
+        info = engine.catalog.info(m)
+        s = _policy_signature(info)
+        if s not in sig_index:
+            sig_index[s] = len(by_sig)
+            by_sig.append((info, []))
+        by_sig[sig_index[s]][1].append(m)
 
-    with engine._writer_lock():
-        _apply_microbatch(engine, batch_df, by_sig, now, propagate)
-
-
-def _apply_microbatch(engine, batch_df, by_sig, now, propagate):
-    for sig_metrics in by_sig.values():
-        info = engine.catalog.info(sig_metrics[0])
-        sub = batch_df.where(F.col("metric").isin(sig_metrics))
-        # Prepare once, cache, and run the ROLLUP PASS BEFORE the points
-        # append (round 8): with the prepared batch supplied as
-        # ``pending``, the tier views take the micro-batch from memory
-        # and read only pre-existing history from disk — the recompute
-        # no longer re-lists and re-opens the small files the append
-        # just wrote. Ordering is safe either way (LWW collapses rows
-        # that are both on disk and in pending; a crash between the two
-        # writes converges on foreachBatch replay) — the only observable
-        # difference is a transient window where a rollup may be fresher
-        # than the not-yet-visible raw points.
-        prepared = engine.ingestor.prepare(sub, info, now).cache()
-        # ONE catalog write per policy group (touch_many), not one per
-        # metric — the control plane stays O(1) writes per micro-batch.
-        engine.catalog.touch_many(sig_metrics, now)
-        if propagate and len(info.archives) > 1:
-            # ONE multi-metric cascade per policy group: O(tiers) Spark
-            # jobs per micro-batch, independent of metric count.
-            engine.propagate_many(
-                sig_metrics, batch=prepared, pending=prepared
+    prepared = engine.ingestor.with_mb(
+        prepare_batch_multi(batch_df, policy_dim(engine.spark, by_sig), now)
+    ).cache()
+    try:
+        # ONE job fills the cache and answers, per policy group: which
+        # metrics does the batch touch, and which (tier, metric, date)
+        # rollup partitions do they dirty.
+        present, touched = _collect_touched(engine, prepared, by_sig)
+        if not present:
+            return
+        with engine._writer_lock():
+            _apply_microbatch(
+                engine, prepared, by_sig, present, touched, now, propagate
             )
-        engine.ingestor.write(prepared)
+    finally:
         prepared.unpersist()
+
+
+def _collect_touched(engine, prepared, by_sig):
+    """One distinct job over the prepared cache: per policy group, the
+    metrics present and the (metric, coarse-bucket date) pairs per cascade
+    tier (the generalized ``_.uniq`` propagate-target dedup,
+    src/hoard.coffee:373-378). Single-archive groups contribute a
+    presence-only arm (``tk = 0``) so ``touch_many`` still sees them."""
+    frames = []
+    for sid, (info, _) in enumerate(by_sig):
+        base = prepared.where(F.col("_sig") == sid)
+        cascade = plan_cascade(info)
+        if not cascade:
+            frames.append(
+                base.select(
+                    F.lit(sid).alias("sid"),
+                    F.lit(0).alias("tk"),
+                    "metric",
+                    F.to_date(F.lit("1970-01-01")).alias("d"),
+                )
+            )
+            continue
+        for tier_k, _, lower_spp in cascade:
+            frames.append(
+                base.where(F.col("tier") <= tier_k).select(
+                    F.lit(sid).alias("sid"),
+                    F.lit(tier_k).alias("tk"),
+                    "metric",
+                    bucket_date_col(
+                        F.col("bucket_ts")
+                        - F.pmod(F.col("bucket_ts"), F.lit(lower_spp))
+                    ).alias("d"),
+                )
+            )
+    un = frames[0]
+    for f in frames[1:]:
+        un = un.unionByName(f)
+    present: dict[int, set] = {}
+    touched: dict[int, dict[int, set]] = {}
+    for r in un.distinct().collect():
+        present.setdefault(r["sid"], set()).add(r["metric"])
+        touched.setdefault(r["sid"], {}).setdefault(r["tk"], set()).add(
+            (r["metric"], str(r["d"]))
+        )
+    return present, touched
+
+
+def _apply_microbatch(engine, prepared, by_sig, present, touched, now, propagate):
+    # ONE catalog write for the whole batch (touch_many), not one per
+    # metric or policy — the control plane stays O(1) writes per batch.
+    all_present = sorted(set().union(*present.values()))
+    engine.catalog.touch_many(all_present, now)
+
+    # The points append and the rollup cascade are both pure readers of
+    # the prepared cache, so they run concurrently: the cascade's tier
+    # views take the micro-batch from memory (``pending``) and whatever
+    # subset of this batch's files a racing scan happens to see on disk
+    # collapses in LWW (identical (metric, tier, bucket, seq) rows), so
+    # every interleaving converges — same argument that makes
+    # foreachBatch replays idempotent. InheritableThread propagates the
+    # caller's job group/scheduler pool to the append's jobs.
+    err: list[BaseException] = []
+
+    def _append_points() -> None:
+        try:
+            engine.ingestor.write(
+                prepared.select(
+                    "metric", "tier", "bucket_ts", "date", "value", "seq",
+                    "ts", *(["mb"] if engine.metric_buckets else []),
+                )
+            )
+        except BaseException as e:  # surfaced after join below
+            err.append(e)
+
+    writer = InheritableThread(target=_append_points)
+    writer.start()
+    try:
+        if propagate:
+            for sid, (info, _) in enumerate(by_sig):
+                mets = sorted(present.get(sid, ()))
+                if not mets or len(info.archives) <= 1:
+                    continue
+                # ONE multi-metric cascade per policy group: O(tiers)
+                # Spark jobs, independent of metric count, scoped by the
+                # precomputed touched sets (no second distinct pass).
+                engine.propagate_many(
+                    mets,
+                    pending=prepared.where(F.col("_sig") == sid),
+                    touched_by_tier={
+                        k: v for k, v in touched[sid].items() if k >= 1
+                    },
+                )
+    finally:
+        writer.join()
+    if err:
+        raise err[0]
 
 
 def start_ingest(
