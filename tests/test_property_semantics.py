@@ -282,3 +282,42 @@ def test_align_col_parity_and_laws(spark, ts_list, spp):
     for t, b in zip(ts_list, expected):
         assert b % spp == 0 and b <= t < b + spp
         assert align_ts(b, spp) == b
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ladder_a=_ladders, ladder_b=_ladders, pts=_point_lists)
+def test_multi_policy_routing_matches_single_policy(
+    spark, ladder_a, ladder_b, pts
+):
+    """prepare_batch_multi == prepare_batch per metric, exactly.
+
+    The fused streaming path routes a mixed-policy batch through ONE
+    broadcast-dim join + array-HOF scan (ingest.py:prepare_batch_multi);
+    this pins it row-for-row to the single-policy when-chain it replaces,
+    on a batch interleaving two random policies plus an unknown metric
+    (which must be dropped by the dim inner join, the stream's
+    dead-letter contract)."""
+    from hoard_spark.ingest import policy_dim, prepare_batch_multi
+
+    info_a, info_b = _info(ladder_a), _info(ladder_b)
+    by_sig = [(info_a, ["a"]), (info_b, ["b"])]
+    rows = [
+        (["a", "b", "zz"][seq % 3], int(ts), float(v), seq)
+        for seq, (ts, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, POINTS_SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in prepare_batch_multi(df, policy_dim(spark, by_sig), NOW)
+        .drop("_sig")
+        .collect()
+    )
+    want = []
+    for m, info in (("a", info_a), ("b", info_b)):
+        sub = df.where(F.col("metric") == m)
+        want += [tuple(r) for r in prepare_batch(sub, info, NOW).collect()]
+    assert got == sorted(want)
