@@ -15,7 +15,10 @@ shingles as join keys. Two sets with Jaccard ≥ t must overlap in ≥
 must share at least one element — no qualifying pair is lost. Candidate
 generation therefore costs Σ_s df_prefix(s)², which at t=0.8 touches
 ~1/5 of each posting list and kills the Zipf head (frequent shingles
-sort LAST and rarely make a prefix).
+sort LAST and rarely make a prefix). On top of the prefix bound, each
+meeting also passes the length filter (SSJoin) and the positional
+filter (PPJoin, Xiao et al. WWW'08) — both ride the posting join as
+codegen predicates, shrinking the candidate set before the distinct.
 
 Verification is exact and pair-local: candidates fetch both docs'
 shingle arrays (two hash joins on doc_id; arrays are doc-sized, i.e.
@@ -92,12 +95,18 @@ def jaccard_similarity_join(
 
     a = prefix.select(
         F.col(doc_col).alias("a_id"), *block, set_col,
-        F.col("_n").alias("_na"),
+        F.col("_n").alias("_na"), F.col("_r").alias("_ra"),
     )
     b = prefix.select(
         F.col(doc_col).alias("b_id"), *block, set_col,
-        F.col("_n").alias("_nb"),
+        F.col("_n").alias("_nb"), F.col("_r").alias("_rb"),
     )
+    # Jaccard >= t  <=>  overlap >= t/(1+t) * (na+nb); keep the required
+    # overlap as a float lower bound (>= ceil(x) relaxed to >= x - eps:
+    # weaker, so never a false negative — extra candidates pay the verify).
+    required = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("_na") + F.col("_nb")
+    ) - F.lit(1e-9)
     cand = (
         a.join(b, [*block, set_col])
         .where(
@@ -114,6 +123,25 @@ def jaccard_similarity_join(
             # exactness; extra candidates just pay the verify.
             & (F.col("_na") >= F.lit(threshold) * F.col("_nb") - 1e-9)
             & (F.col("_nb") >= F.lit(threshold) * F.col("_na") - 1e-9)
+            # Positional filter (PPJoin, Xiao et al. WWW'08): a meeting
+            # on the token at 1-based rank _ra in a and _rb in b can
+            # witness an overlap of at most 1 + min(na-_ra, nb-_rb)
+            # (the token itself plus each side's suffix) PROVIDED no
+            # earlier common token exists. For a qualifying pair the
+            # meeting on its FIRST common token therefore always passes
+            # (true overlap >= required), and the pair survives the
+            # any-meeting-passes distinct below — later meetings may be
+            # pruned freely, so this drops meetings and duplicate
+            # candidates with zero false negatives, riding the same
+            # join (no extra shuffle).
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_ra"),
+                    F.col("_nb") - F.col("_rb"),
+                )
+                >= required
+            )
         )
         .select("a_id", "b_id")
         .distinct()

@@ -107,6 +107,36 @@ def test_simjoin_prunes_candidates(spark):
     pruned = meetings(prefix.select("doc_id", "s"))
     assert pruned < full / 2, (pruned, full)
 
+    # the positional filter (PPJoin) must prune strictly beyond the
+    # prefix meeting count: replicate the candidate join's predicates
+    # (length + positional) over the same prefix rows
+    a = prefix.select(
+        F.col("doc_id").alias("a_id"), "s",
+        F.col("_n").alias("_na"), F.col("_r").alias("_ra"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"), "s",
+        F.col("_n").alias("_nb"), F.col("_r").alias("_rb"),
+    )
+    required = F.lit(t / (1.0 + t)) * (F.col("_na") + F.col("_nb")) - 1e-9
+    positional = (
+        a.join(b, "s")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("_na") >= F.lit(t) * F.col("_nb") - 1e-9)
+            & (F.col("_nb") >= F.lit(t) * F.col("_na") - 1e-9)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")
+                )
+                >= required
+            )
+        )
+        .count()
+    )
+    assert positional < pruned, (positional, pruned)
+
 
 def test_prefix_length_bound():
     assert prefix_length(10, 0.8) == 3
