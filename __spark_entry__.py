@@ -63,9 +63,11 @@ _PRIORITY = [
     "q91_ann_ivfpq",  # NEW query this round (IVF-PQ; needs first evidence)
     "q92_ann_filtered",  # NEW query this round (filtered vector search)
     "q93_ann_lsh",  # NEW query this round (LSH-bucketed ANN)
+    "q94_label_outliers",  # NEW query this round (class-prototype outliers)
+    "q95_ngram_novelty",  # NEW query this round (first-occurrence novelty)
     # backfill to 50 from the r7-green set, name order
     "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
-    "q04_range_fetch", "q05_retention_filter", "q06_filter",
+    "q04_range_fetch",
 ]
 
 

@@ -2656,3 +2656,168 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select("doc_id", "text", "lang", "source").unionByName(clones)
     sh = track_cache(shingle_rows_of(aug).select("doc_id", "s"))
     return topk_similar_pairs(sh, _TOPK_K, ladder=(0.7, 0.5))
+
+
+# ---------------------------------------------------------------------------
+# q94 — label-outlier detection via class prototypes (round 8)
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md)
+
+# DuckDB twin of the per-label centroid: element-wise AVG, 1-based list
+# indexing. Generated once at import; the oracle must stay a plain string.
+_DUCK_CENTROID = (
+    "[" + ", ".join(f"AVG(v[{i}])" for i in range(1, _EMB_DIM + 1)) + "]"
+)
+
+
+@query(
+    "q94_label_outliers",
+    "label-noise detection via class prototypes: per-label embedding "
+    "centroid, bottom-3 cosine-to-own-centroid per label",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, {_DUCK_CENTROID} AS c
+        FROM e GROUP BY label
+    ),
+    scored AS (
+        SELECT e.label, e.vec_id,
+               ROUND(list_dot_product(e.v, cent.c) /
+                     (SQRT(list_dot_product(e.v, e.v)) *
+                      SQRT(list_dot_product(cent.c, cent.c))), 3) AS cos_c
+        FROM e JOIN cent ON e.label = cent.label
+    ),
+    ranked AS (
+        SELECT label, vec_id, cos_c,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY cos_c, vec_id) AS rn
+        FROM scored
+    )
+    SELECT label, vec_id, cos_c, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3 ORDER BY label, rn
+    """,
+    "training-data pipeline: label-noise / mislabel detection via class "
+    "prototypes (Northcutt et al., JAIR 2021 confident-learning family) "
+    "— the curation step between dedup and sampling",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-prototype outliers: one aggregation pass builds a 64-dim
+    centroid per label (64 partial-aggregating AVGs — map-side combine,
+    one shuffle of #labels x 64 cells), the tiny prototype table
+    broadcasts back onto the corpus, and the cosine runs as a codegen
+    zip_with/aggregate fold — no UDFs, no corpus self-join.
+
+    The bottom-3 ranking shuffles on label, but the ``rn <= 3`` filter
+    is a WindowGroupLimit in Spark 3.5+/4.x: each map task keeps only
+    its local bottom-3 per label before the exchange, so the shuffle
+    carries O(tasks x labels x 3) rows, not the corpus — the same
+    two-phase top-k a hand-rolled treeAggregate would do.
+
+    Ties at the 3dp rounding are broken by vec_id on BOTH sides, so the
+    selected rows are deterministic across engines."""
+    from pyspark.sql import Window
+
+    n = _emb_norm(spark, sf_dir)  # (vec_id, label, v, nrm), persisted
+    cent = (
+        n.groupBy("label")
+        .agg(
+            F.array(
+                *[F.avg(F.col("v")[i]) for i in range(_EMB_DIM)]
+            ).alias("c")
+        )
+        .withColumn(
+            "cnrm",
+            F.sqrt(F.expr("aggregate(c, 0.0D, (acc, x) -> acc + x * x)")),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = n.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(dot / (F.col("nrm") * F.col("cnrm")), 3).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_c", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .orderBy("label", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — per-document n-gram novelty (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_ngram_novelty",
+    "per-document 3-gram novelty: fraction of each doc's distinct "
+    "shingles whose first corpus occurrence (by doc_id) is that doc",
+    f"""
+    WITH s AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    f AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(ROUND(CAST(SUM(CASE WHEN first_doc = doc_id
+                                    THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                           AS DECIMAL(25,10)), 4) AS DOUBLE) AS novelty
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+    "training-data pipeline: novelty / diversity measurement — the "
+    "per-doc complement of q66's contamination overlap (a doc whose "
+    "grams all appeared earlier is template/boilerplate; a curation "
+    "pass keeps high-novelty docs first)",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty in two shuffles: the per-doc DISTINCT
+    shingle set comes out of ``shingle_rows_of`` (posexplode + lead,
+    whole-stage codegen), the min-doc_id-per-gram window shuffles on the
+    gram (high cardinality — V^3 domain — so no skewed reducer), and the
+    per-doc ratio re-aggregates on doc_id. Nothing is quadratic and no
+    gram list is ever collected; at 100 TB this is the same
+    one-pass-per-key shape as the q72 span dedup.
+
+    The ratio goes through the dround/DECIMAL(25,10) discipline:
+    n_new/n_grams is a small-integer ratio, exactly the population that
+    hits true 4dp midpoints where double ROUND diverges between
+    engines."""
+    rows = shingle_rows_of(load(spark, sf_dir, "documents")).select(
+        "doc_id", "s"
+    )
+    from pyspark.sql import Window
+
+    first = F.min("doc_id").over(Window.partitionBy("s"))
+    flagged = rows.select(
+        "doc_id", (first == F.col("doc_id")).cast("long").alias("is_new")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_new").alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_new",
+            dround(F.col("n_new") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

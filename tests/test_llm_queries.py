@@ -260,3 +260,86 @@ def test_simhash_pairs_near_miss_and_planted_clone(spark):
     assert (1, 2) in got and 1 <= got[(1, 2)] <= 8, got
     assert got.get((2, 4)) == got[(1, 2)], got  # clone mirrors its source
     assert not any(3 in p for p in got), got
+
+
+def test_q94_label_outliers_match_pure_python(spark):
+    """q94's bottom-3-by-centroid-cosine per label equals a pure-Python
+    recomputation at smoke scale (the oracle does the same at sf0.01;
+    this pins the semantics without DuckDB in the loop)."""
+    import math
+
+    rows = (
+        load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+        )
+    expect = []
+    for label in sorted(by_label):
+        vecs = by_label[label]
+        dim = len(vecs[0][1])
+        c = [
+            sum(v[i] for _, v in vecs) / len(vecs) for i in range(dim)
+        ]
+        cn = math.sqrt(sum(x * x for x in c))
+        scored = sorted(
+            (
+                round(
+                    sum(a * b for a, b in zip(v, c))
+                    / (math.sqrt(sum(x * x for x in v)) * cn),
+                    3,
+                ),
+                vid,
+            )
+            for vid, v in vecs
+        )
+        for rn, (cos, vid) in enumerate(scored[:3], start=1):
+            expect.append((label, vid, cos, rn))
+
+    got = [
+        (r["label"], r["vec_id"], round(r["cos_c"], 3), r["rn"])
+        for r in REG["q94_label_outliers"].spark_fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_q95_novelty_first_doc_is_one_and_ratios_hold(spark):
+    """The lowest doc_id's grams are all first occurrences (novelty 1.0),
+    every ratio is n_new/n_grams, and a doc that is an exact duplicate
+    of an earlier doc would score 0 — pinned via the planted-clone
+    harness: clone doc 0's text at a high doc_id and require novelty 0."""
+    docs = load(spark, SF_SMOKE, "documents")
+    out = {
+        r["doc_id"]: r
+        for r in REG["q95_ngram_novelty"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    first_doc = min(out)
+    assert out[first_doc]["novelty"] == 1.0
+    for r in out.values():
+        assert 0 <= r["n_new"] <= r["n_grams"]
+        assert abs(r["novelty"] - r["n_new"] / r["n_grams"]) < 5e-5
+
+    # planted clone: identical text later in the corpus -> novelty 0
+    from hoard_spark.queries.llm import shingle_rows_of
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", "text", "lang", "source")
+    clone = base.where(F.col("doc_id") == first_doc).select(
+        F.lit(10_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    rows = shingle_rows_of(base.unionByName(clone)).select("doc_id", "s")
+    first = F.min("doc_id").over(Window.partitionBy("s"))
+    nov = (
+        rows.select(
+            "doc_id", (first == F.col("doc_id")).cast("long").alias("is_new")
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("is_new") / F.count("*")).alias("novelty"))
+        .where(F.col("doc_id") == 10_000_000)
+        .collect()
+    )
+    assert nov[0]["novelty"] == 0.0
