@@ -68,16 +68,26 @@ def normalized(
     return track_cache(out) if persist else out
 
 
+def sample_units(n: DataFrame, sample: int = 4096):
+    """Deterministic training sample (lowest ``sample`` vec_ids' unit
+    vectors) as a numpy matrix — collect ONCE and pass to both
+    ``train_centroids`` and ``train_pq_codebooks``."""
+    from hoard_spark.queries.llm import _sample_units
+
+    return _sample_units(n, sample)
+
+
 def train_centroids(
-    n: DataFrame, k: int = 8, iters: int = 4, sample: int = 4096
+    n: DataFrame, k: int = 8, iters: int = 4, sample: int = 4096, X=None
 ) -> "list[tuple[int, list[float]]]":
     """Deterministic spherical k-means over a bounded sample (the lowest
     ``sample`` vec_ids' unit vectors; seeds = the first k). Returns the
     k unit centroids as plain Python — small enough to inline as
-    literals. See queries/llm.py::_kmeans_centroids (shared impl)."""
+    literals. See queries/llm.py::_kmeans_centroids (shared impl).
+    Pass ``X`` (from ``sample_units``) to skip the sample collect."""
     from hoard_spark.queries.llm import _kmeans_centroids
 
-    return _kmeans_centroids(n, k=k, iters=iters, sample=sample)
+    return _kmeans_centroids(n, k=k, iters=iters, sample=sample, X=X)
 
 
 def centroid_sims(
@@ -207,7 +217,12 @@ def search_exact(
 
 
 def train_pq_codebooks(
-    n: DataFrame, m: int = 8, ks: int = 16, iters: int = 8, sample: int = 4096
+    n: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    X=None,
 ) -> "list[list[list[float]]]":
     """Per-subspace Euclidean k-means over the SAME bounded deterministic
     sample as ``train_centroids`` (lowest ``sample`` vec_ids' unit
@@ -218,23 +233,8 @@ def train_pq_codebooks(
     codebook matrix leaves the driver."""
     import numpy as np
 
-    rows = (
-        n.where(F.col("vec_id") < sample)
-        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
-        .orderBy("vec_id")
-        .limit(sample)
-        .collect()
-    )
-    if len(rows) < sample:
-        rows = (
-            n.select(
-                "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
-            )
-            .orderBy("vec_id")
-            .limit(sample)
-            .collect()
-        )
-    X = np.array([r["u"] for r in rows], dtype=np.float64)
+    if X is None:
+        X = sample_units(n, sample)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -604,10 +604,21 @@ def materialized_index(
         ]
     )
 
+    # Cold-build state shared between the two builders: ONE normalized
+    # (persisted) corpus and ONE training-sample collect. Built lazily so
+    # a warm artifact store pays neither the corpus scan nor the collect.
+    shared: dict = {}
+
+    def corpus_n() -> DataFrame:
+        if "n" not in shared:
+            shared["n"] = normalized(corpus_builder(), keep=keep)
+        return shared["n"]
+
     def build_model() -> DataFrame:
-        n = normalized(corpus_builder(), keep=keep)
-        cents = train_centroids(n, k=k)
-        books = train_pq_codebooks(n, m=m, ks=ks)
+        n = corpus_n()
+        X = sample_units(n)
+        cents = train_centroids(n, k=k, X=X)
+        books = train_pq_codebooks(n, m=m, ks=ks, X=X)
         rows = [("cent", i, 0, v) for i, v in cents] + [
             ("book", j, c, cw)
             for j, bj in enumerate(books)
@@ -631,8 +642,7 @@ def materialized_index(
     ]
 
     def build_table() -> DataFrame:
-        n = normalized(corpus_builder(), keep=keep)
-        return encode_pq(assign_cells(n, cents), books)
+        return encode_pq(assign_cells(corpus_n(), cents), books)
 
     table = get_or_build(
         spark, sf_dir, f"{name}_table", tables, build_table

@@ -608,8 +608,37 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sample_units(n: DataFrame, sample: int = 4096):
+    """The ``sample`` lowest vec_ids' unit vectors as a numpy matrix —
+    the ONE training collect shared by IVF centroid and PQ codebook
+    training (``ann.materialized_index`` passes it to both; previously
+    each trainer re-collected the identical rows, one extra Spark job
+    on every cold index build).
+
+    Fast path: vec_ids are dense from 0 in this corpus, so a pushed-down
+    range predicate selects the identical sample while parquet row-group
+    stats prune the scan (vs sorting the full table). Falls back to the
+    global sort-limit if the id space turns out sparse."""
+    import numpy as np
+
+    def _lowest(src: DataFrame) -> list:
+        return (
+            src.select(
+                "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
+            )
+            .orderBy("vec_id")
+            .limit(sample)
+            .collect()
+        )
+
+    rows = _lowest(n.where(F.col("vec_id") < sample))
+    if len(rows) < sample:  # sparse id space (or corpus < sample): the
+        rows = _lowest(n)  # global sort-limit is the exact definition
+    return np.array([r["u"] for r in rows], dtype=np.float64)  # (m, dim)
+
+
 def _kmeans_centroids(
-    n: DataFrame, k: int = 8, iters: int = 4, sample: int = 4096
+    n: DataFrame, k: int = 8, iters: int = 4, sample: int = 4096, X=None
 ) -> "list[tuple[int, list[float]]]":
     """Deterministic spherical k-means, trained on a bounded sample.
 
@@ -629,24 +658,8 @@ def _kmeans_centroids(
     """
     import numpy as np
 
-    def _lowest(src: DataFrame) -> list:
-        return (
-            src.select(
-                "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
-            )
-            .orderBy("vec_id")
-            .limit(sample)
-            .collect()
-        )
-
-    # Fast path: vec_ids are dense from 0 in this corpus, so a pushed-down
-    # range predicate selects the identical sample while parquet row-group
-    # stats prune the scan (vs sorting the full table). Falls back to the
-    # global sort-limit if the id space turns out sparse.
-    rows = _lowest(n.where(F.col("vec_id") < sample))
-    if len(rows) < sample:  # sparse id space (or corpus < sample): the
-        rows = _lowest(n)  # global sort-limit is the exact definition
-    X = np.array([r["u"] for r in rows], dtype=np.float64)  # (m, dim)
+    if X is None:
+        X = _sample_units(n, sample)
     C = X[:k].copy()
     for _ in range(iters):
         # assign: argmax cosine (rows are unit vectors); ties -> lowest
