@@ -292,3 +292,32 @@ def test_merge_upsert_single_shuffle_per_side(spark):
     plan = plan_of(REG["q81_merge_upsert"].spark_fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_outliers_broadcasts_prototypes_and_limits_window(spark):
+    """q94: the per-label centroid table (|labels| rows) must BROADCAST
+    back onto the corpus — a shuffle join would re-partition the whole
+    corpus on a ~10-value key (skew disaster at 100 TB) — and the
+    bottom-3 ranking must carry a WindowGroupLimit so each map task
+    ships only its local bottom-3 per label into the exchange, not the
+    corpus. No cartesian anywhere."""
+    plan = plan_of(REG["q94_label_outliers"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ngram_novelty_single_gram_shuffle(spark):
+    """q95: one hashpartitioning exchange on the gram (the min-doc_id
+    window), one re-aggregation on doc_id, plus the doc-local
+    posexplode/lead window — no join at all, nothing quadratic, no gram
+    arrays collected."""
+    plan = plan_of(REG["q95_ngram_novelty"].spark_fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles <= 4, f"{n_shuffles} shuffles:\n{plan}"
