@@ -34,6 +34,7 @@ HEAVY = [
     "q79_simjoin_threshold",
     "q90_topk_simjoin_ladder",
     "q91_ann_ivfpq",  # round 8: PQ encode + ADC scan + exact rerank
+    "q95_ngram_novelty",  # round 8: gram-shuffle first-occurrence pass
 ]
 
 
