@@ -65,9 +65,10 @@ _PRIORITY = [
     "q93_ann_lsh",  # NEW query this round (LSH-bucketed ANN)
     "q94_label_outliers",  # NEW query this round (class-prototype outliers)
     "q95_ngram_novelty",  # NEW query this round (first-occurrence novelty)
+    "q96_pmi_bigrams",  # NEW query this round (PMI collocations)
+    "q97_mixture_weights",  # NEW query this round (temperature mixing)
     # backfill to 50 from the r7-green set, name order
-    "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
-    "q04_range_fetch",
+    "q01_bucket_lww", "q02_rollup_xff",
 ]
 
 

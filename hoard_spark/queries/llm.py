@@ -2834,3 +2834,180 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — bigram collocations via pointwise mutual information (round 8)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # ignore rare pairs: PMI is noise-dominated below this
+
+
+@query(
+    "q96_pmi_bigrams",
+    "collocation mining: top-20 adjacent word pairs by pointwise mutual "
+    f"information (bigram count >= {_PMI_MIN_COUNT})",
+    f"""
+    WITH d AS (
+        SELECT string_split_regex(trim(text), ' +') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM d WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT g, COUNT(*) AS c_ab FROM bg GROUP BY g),
+    uc AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+    ),
+    tot AS (
+        SELECT (SELECT SUM(c) FROM uc) AS n_t,
+               (SELECT SUM(c_ab) FROM bc) AS n_bi
+    ),
+    scored AS (
+        SELECT string_split(g, ' ')[1] AS a,
+               string_split(g, ' ')[2] AS b,
+               c_ab,
+               ln((c_ab * 1.0 / tot.n_bi) /
+                  ((ca.c * 1.0 / tot.n_t) * (cb.c * 1.0 / tot.n_t))) AS pmi
+        FROM bc
+        CROSS JOIN tot
+        JOIN uc ca ON ca.tok = string_split(g, ' ')[1]
+        JOIN uc cb ON cb.tok = string_split(g, ' ')[2]
+        WHERE c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, ROUND(pmi, 4) AS pmi
+    FROM scored ORDER BY ROUND(pmi, 4) DESC, a, b LIMIT 20
+    """,
+    "training-data pipeline: collocation extraction (Church & Hanks, "
+    "CL 1990) — the corpus-level pair-association complement of q64's "
+    "per-doc TF-IDF",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over adjacent word pairs: the bigram build is the same
+    codegen posexplode + lead window as the shingle family; bigram and
+    unigram counts are two partial-aggregating shuffles on
+    high-cardinality keys; the two unigram joins shuffle the bigram
+    table on the word (at web scale the unigram table is itself large —
+    no broadcast is forced, AQE picks one when the vocab fits); the two
+    corpus totals are 1-row broadcast cross joins. Ranking on the
+    rounded PMI with the (a, b) tiebreak keeps the top-20 deterministic
+    across engines (ln agrees to ~1 ulp)."""
+    from pyspark.sql import Window
+
+    toks = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            F.col("tok").alias("a"), F.lead("tok", 1).over(w).alias("b")
+        )
+        .where(F.col("b").isNotNull())
+    )
+    bc = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_t = uni.agg(F.sum("c").alias("n_t"))
+    n_bi = bc.agg(F.sum("c_ab").alias("n_bi"))
+    scored = (
+        bc.where(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(uni.select(F.col("tok").alias("a"),
+                         F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("tok").alias("b"),
+                         F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_ab") / F.col("n_bi"))
+                / ((F.col("c_a") / F.col("n_t"))
+                   * (F.col("c_b") / F.col("n_t")))
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "a", "b", "c_ab", F.round("pmi", 4).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — temperature-scaled source mixture weights (round 8)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3  # multilingual-LM style temperature (p_i^alpha renorm)
+_MIX_BUDGET = 10_000  # docs to draw under the mixture
+
+
+@query(
+    "q97_mixture_weights",
+    f"data mixing: per-source temperature-scaled sampling weights "
+    f"(p^alpha renormalized, alpha={_MIX_ALPHA}) and target doc counts "
+    f"for a {_MIX_BUDGET}-doc budget",
+    f"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    shares AS (
+        SELECT source, n_docs,
+               n_docs * 1.0 / SUM(n_docs) OVER () AS share,
+               POW(n_docs * 1.0 / SUM(n_docs) OVER (), {_MIX_ALPHA}) AS w_raw
+        FROM s
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(share AS DECIMAL(25,10)), 4) AS DOUBLE) AS share,
+           ROUND(w_raw / SUM(w_raw) OVER (), 4) AS weight,
+           CAST(ROUND({_MIX_BUDGET} * w_raw / SUM(w_raw) OVER (), 0)
+                AS BIGINT) AS target_n
+    FROM shares ORDER BY source
+    """,
+    "training-data pipeline: domain/source mixture reweighting "
+    "(temperature sampling, Conneau & Lample NeurIPS 2019 / XLM-R "
+    "style) — upsamples rare sources, caps dominant ones; completes "
+    "the sampling family next to q52 (Bernoulli) and q61 (stratified)",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregating shuffle on source builds the per-source
+    counts; everything after runs on the #sources-row aggregate (two
+    unbounded windows over a dimension-sized frame — post-aggregation,
+    so the single-partition window is scale-free). ``share`` is a
+    small-integer ratio and goes through the dround/DECIMAL discipline;
+    ``weight``/``target_n`` derive from pow() (irrational — plain
+    4dp/integer rounding agrees across engines)."""
+    from pyspark.sql import Window
+
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    wall = Window.partitionBy()
+    shares = s.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(wall)).alias("share"),
+        F.pow(
+            F.col("n_docs") / F.sum("n_docs").over(wall), F.lit(_MIX_ALPHA)
+        ).alias("w_raw"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        dround(F.col("share")).alias("share"),
+        F.round(F.col("w_raw") / F.sum("w_raw").over(wall), 4).alias(
+            "weight"
+        ),
+        F.round(
+            F.lit(_MIX_BUDGET) * F.col("w_raw") / F.sum("w_raw").over(wall),
+            0,
+        )
+        .cast("long")
+        .alias("target_n"),
+    ).orderBy("source")

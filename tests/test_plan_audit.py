@@ -321,3 +321,29 @@ def test_ngram_novelty_single_gram_shuffle(spark):
         "Exchange rangepartitioning"
     )
     assert n_shuffles <= 4, f"{n_shuffles} shuffles:\n{plan}"
+
+
+def test_pmi_counts_are_partial_aggregates_no_forced_broadcast(spark):
+    """q96: bigram/unigram counts must be partial-aggregating
+    hash aggregates (map-side combine before the word shuffle), the
+    two corpus totals must come in as 1-row broadcasts, and nothing may
+    go cartesian besides those two scalar cross joins."""
+    plan = plan_of(REG["q96_pmi_bigrams"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # 1-row totals
+    assert "HashAggregate" in plan, plan
+
+
+def test_mixture_weights_window_is_post_aggregation(spark):
+    """q97: the only data-sized work is ONE partial-aggregating shuffle
+    on source; the unbounded windows run on the #sources-row aggregate
+    (a single-partition window over a dimension-sized frame is
+    scale-free there, not a corpus sort)."""
+    plan = plan_of(REG["q97_mixture_weights"].spark_fn(spark, SF))
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    # one hash shuffle for the groupBy; the window's SinglePartition
+    # exchange and the final sort run on the aggregate only
+    assert n_shuffles <= 1, f"{n_shuffles} data-sized shuffles:\n{plan}"
+    assert "HashAggregate" in plan, plan
