@@ -343,3 +343,58 @@ def test_q95_novelty_first_doc_is_one_and_ratios_hold(spark):
         .collect()
     )
     assert nov[0]["novelty"] == 0.0
+
+
+def test_q96_pmi_matches_pure_python(spark):
+    """q96's top-20 PMI pairs equal a pure-Python recomputation at
+    smoke scale (counts, PMI values at 4dp, and ordering)."""
+    import math
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in load(spark, SF_SMOKE, "documents").select("text").collect()
+    ]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = t.strip().split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_t, n_bi = sum(uni.values()), sum(bi.values())
+    scored = sorted(
+        (
+            -round(
+                math.log(
+                    (c / n_bi) / ((uni[a] / n_t) * (uni[b] / n_t))
+                ),
+                4,
+            ),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in bi.items()
+        if c >= 5
+    )[:20]
+    expect = [(a, b, c, -negp) for negp, a, b, c in scored]
+
+    got = [
+        (r["a"], r["b"], r["c_ab"], r["pmi"])
+        for r in REG["q96_pmi_bigrams"].spark_fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_q97_weights_sum_to_one_and_track_alpha(spark):
+    """q97: weights renormalize to ~1, the target counts track the
+    budget, and temperature flattening holds — a rarer source's weight
+    exceeds its raw share, a dominant source's is capped below it."""
+    rows = REG["q97_mixture_weights"].spark_fn(spark, SF_SMOKE).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["target_n"] for r in rows) - 10_000) <= len(rows)
+    lo = min(rows, key=lambda r: r["n_docs"])
+    hi = max(rows, key=lambda r: r["n_docs"])
+    if lo["share"] < hi["share"]:  # non-degenerate source mix
+        assert lo["weight"] >= lo["share"]
+        assert hi["weight"] <= hi["share"]
