@@ -67,8 +67,9 @@ _PRIORITY = [
     "q95_ngram_novelty",  # NEW query this round (first-occurrence novelty)
     "q96_pmi_bigrams",  # NEW query this round (PMI collocations)
     "q97_mixture_weights",  # NEW query this round (temperature mixing)
+    "q98_containment_dedup",  # NEW query this round (truncation dedup)
     # backfill to 50 from the r7-green set, name order
-    "q01_bucket_lww", "q02_rollup_xff",
+    "q01_bucket_lww",
 ]
 
 

@@ -3011,3 +3011,88 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_n"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q98 — set-containment dedup (truncation/excerpt detection, round 8)
+# ---------------------------------------------------------------------------
+
+# Every 10th doc gets a TRUNCATED copy (first max(3, ceil(0.6·|toks|))
+# tokens) planted at doc_id + _CONT_OFFSET: the truncation's shingle set
+# is a strict subset of its source's, so containment(A→B) = 1.0 exactly
+# while Jaccard(A, B) is only ~0.6 — the pair class the symmetric join
+# (q79/q90) structurally cannot flag at a high threshold. 0.6·n in IEEE
+# rounds DOWN (0.6 < 3/5 in binary), so ceil lands on the exact integer
+# in both engines and the planted texts are bit-identical.
+_CONT_OFFSET = 3_000_000
+_CONT_T = 0.9
+_CONT_MIN = 5
+
+
+@query(
+    "q98_containment_dedup",
+    f"directed set-containment join at t={_CONT_T}: truncated/excerpt "
+    "copies found via A-side prefix-filtered posting join",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        FROM documents
+    ),
+    aug AS (
+        SELECT doc_id, toks FROM base
+        UNION ALL
+        SELECT doc_id + {_CONT_OFFSET} AS doc_id,
+               list_slice(toks, 1,
+                          GREATEST(3, CAST(ceil(0.6 * len(toks)) AS BIGINT)))
+                   AS toks
+        FROM base WHERE doc_id % 10 = 0
+    ),
+    s AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM aug
+        WHERE len(toks) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS na,
+               CAST(len(b.sh) AS BIGINT) AS nb,
+               len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS c
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE len(a.sh) >= {_CONT_MIN}
+    )
+    SELECT a_id, b_id, inter, na, nb, ROUND(c, 4) AS containment
+    FROM pairs WHERE c >= {_CONT_T} ORDER BY a_id, b_id
+    """,
+    "training-data pipeline: asymmetric dedup — truncations, quoted "
+    "excerpts, docs embedded in compilations (containment ~1.0 where "
+    "Jaccard is small); hoard_spark/simjoin.py containment_join",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment via the A-side prefix-filtered posting join
+    (simjoin.containment_join): only the contained side's prefix posts
+    into the join, the containing side posts everything, and length +
+    positional filters ride the meeting — never an all-pairs plan. The
+    oracle is the quadratic directional brute force the prefix filter
+    avoids; the planted truncations guarantee the answer set is
+    non-trivial (one containment-1.0 row per planted copy, minimum)."""
+    from hoard_spark.simjoin import containment_join
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " +")
+    k = F.greatest(
+        F.lit(3), F.ceil(F.lit(0.6) * F.size(toks)).cast("int")
+    )
+    clones = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
+        "lang",
+        "source",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source").unionByName(
+        clones
+    )
+    sh = track_cache(shingle_rows_of(aug).select("doc_id", "s"))
+    return (
+        containment_join(sh, _CONT_T, min_size=_CONT_MIN)
+        .orderBy("a_id", "b_id")
+    )

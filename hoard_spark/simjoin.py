@@ -252,3 +252,119 @@ def topk_similar_pairs(
         "rung — lower the floor deliberately or use the full-join "
         "top-k form (its cost is the contract's, not the plan's)"
     )
+
+
+def containment_join(
+    shingles: DataFrame,
+    threshold: float,
+    doc_col: str = "doc_id",
+    set_col: str = "s",
+    min_size: int = 1,
+) -> DataFrame:
+    """All DIRECTED pairs (a, b) with containment |A∩B| / |A| >= t.
+
+    Containment is the asymmetric twin of the Jaccard join: a truncated
+    copy, a quoted excerpt, or a doc embedded in a larger compilation
+    has containment ~1.0 in its source while its JACCARD can be
+    arbitrarily small (|B| >> |A| drives the union up) — so
+    ``jaccard_similarity_join`` structurally cannot find these, and a
+    dedup pass that only runs it keeps every truncation. Standard
+    set-containment machinery (Melnik & Garcia-Molina; the prefix
+    filter transfers per Chaudhuri et al. SSJoin).
+
+    Filters, all exact (no false negatives):
+
+    - A-side prefix: |A∩B| >= ceil(t·|A|) means the first
+      |A| − ceil(t·|A|) + 1 shingles of A (shared global rarest-first
+      order) must hit B — only A's prefix posts into the join. B posts
+      ALL its shingles (its witness may sit anywhere in B's order), so
+      candidate work is Σ_s df_prefixA(s)·df(s): asymmetric but still
+      prefix-bounded on the contained side, which is the side that
+      matters (the Zipf head sorts last and rarely makes a prefix).
+    - Length filter: |B| >= |A∩B| >= t·|A| — undersized B dropped at
+      the meeting (B has no upper bound; that is the point).
+    - Positional filter: for the FIRST common shingle (rank _ra in A,
+      _rb in B) the overlap is at most 1 + min(|A|−_ra, |B|−_rb);
+      meetings that cannot reach t·|A| are dropped, the first-common
+      meeting of every qualifying pair always survives.
+
+    Verification is pair-local and exact (array_intersect on doc-sized
+    arrays). Output: ``a_id, b_id, inter, na, nb, containment`` — one
+    row per DIRECTED qualifying pair (an exact clone yields both
+    directions at 1.0; a strict truncation yields only A→B).
+    ``min_size`` drops trivially-contained tiny docs (|A| < min_size).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingles.select(doc_col, set_col)
+
+    df_rank = sh.groupBy(set_col).agg(F.count("*").alias("_df"))
+    ordered = sh.join(df_rank, set_col)
+    w_doc = Window.partitionBy(doc_col).orderBy("_df", set_col)
+    ranked = ordered.select(
+        doc_col,
+        set_col,
+        F.row_number().over(w_doc).alias("_r"),
+        F.count("*").over(Window.partitionBy(doc_col)).alias("_n"),
+    )
+    a = ranked.where(
+        (
+            F.col("_r")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        & (F.col("_n") >= min_size)
+    ).select(
+        F.col(doc_col).alias("a_id"), set_col,
+        F.col("_n").alias("_na"), F.col("_r").alias("_ra"),
+    )
+    b = ranked.select(  # unfiltered: the containing side posts everything
+        F.col(doc_col).alias("b_id"), set_col,
+        F.col("_n").alias("_nb"), F.col("_r").alias("_rb"),
+    )
+    required = F.lit(threshold) * F.col("_na") - F.lit(1e-9)
+    cand = (
+        a.join(b, set_col)
+        .where(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("_nb") >= required)  # length filter
+            & (  # positional filter (first-common-meeting safe)
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_ra"),
+                    F.col("_nb") - F.col("_rb"),
+                )
+                >= required
+            )
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    sets = sh.groupBy(doc_col).agg(
+        F.collect_set(set_col).alias("_set"), F.count("*").alias("_n")
+    )
+    sa = sets.select(
+        F.col(doc_col).alias("a_id"),
+        F.col("_set").alias("_sa"),
+        F.col("_n").alias("na"),
+    )
+    sb = sets.select(
+        F.col(doc_col).alias("b_id"),
+        F.col("_set").alias("_sb"),
+        F.col("_n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    cont = inter.cast("double") / F.col("na").cast("double")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(cont >= threshold)  # unrounded — matches the SQL twin
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter"),
+            "na",
+            "nb",
+            F.round(cont, 4).alias("containment"),
+        )
+    )

@@ -353,3 +353,13 @@ def test_mixture_weights_window_is_post_aggregation(spark):
     # exchange and the final sort run on the aggregate only
     assert n_shuffles <= 1, f"{n_shuffles} data-sized shuffles:\n{plan}"
     assert "HashAggregate" in plan, plan
+
+
+def test_containment_join_no_cartesian_prefix_posts(spark):
+    """q98: the candidate stage must be the A-prefix posting equi-join —
+    no CartesianProduct / nested-loop anywhere — and the verify joins
+    stay hash joins on doc ids."""
+    plan = plan_of(REG["q98_containment_dedup"].spark_fn(spark, SF))
+    live = plan.split("InMemoryTableScan")[0]
+    assert "CartesianProduct" not in live, plan
+    assert "BroadcastNestedLoopJoin" not in live, plan

@@ -197,3 +197,68 @@ def test_topk_ladder_raises_below_floor(spark):
     )
     with pytest.raises(ValueError, match="ladder floor"):
         topk_similar_pairs(sh, 2)
+
+
+def _brute_containment(sets, t, min_size):
+    out = {}
+    for a in sets:
+        if len(sets[a]) < min_size:
+            continue
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter / len(sets[a]) >= t:
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+@pytest.mark.parametrize("t", [0.6, 0.9])
+def test_containment_join_matches_brute_force(spark, seed, t):
+    """Directed containment pairs — including planted truncations whose
+    Jaccard is far below the threshold — match the quadratic brute
+    force exactly (no false negatives from the A-side prefix filter)."""
+    from hoard_spark.simjoin import containment_join
+
+    docs = _corpus(seed)
+    # planted truncations: first 60% of tokens of a few docs
+    for i in (0, 4, 8):
+        src = docs[i]
+        docs.append(src[: max(3, (6 * len(src)) // 10)])
+    sets = _shingle_sets(docs)
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+        for r in containment_join(sh, t, min_size=4).collect()
+    }
+    expect = _brute_containment(sets, t, 4)
+    assert got == expect, (seed, t)
+    # the planted truncations must be found as contained in their source
+    if t <= 1.0:
+        n_planted = len(docs) - 3
+        for off, src in zip(range(n_planted, len(docs)), (0, 4, 8)):
+            if off in sets and len(sets[off]) >= 4:
+                assert (off, src) in got
+
+
+def test_containment_join_is_directional(spark):
+    """A strict truncation is contained in its source, never the
+    reverse (containment(B->A) = |A∩B|/|B| < t for a short A)."""
+    from hoard_spark.simjoin import containment_join
+
+    full = [f"t{i}" for i in range(30)]
+    trunc = full[:12]
+    sets = _shingle_sets([full, trunc])
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_join(sh, 0.9).collect()
+    }
+    assert got == {(1, 0): 1.0}
