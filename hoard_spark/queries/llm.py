@@ -2572,8 +2572,9 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
            CAST(len(a.sh) AS BIGINT) AS na,
            CAST(len(b.sh) AS BIGINT) AS nb,
-           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+           CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS DECIMAL(25,10)), 4) AS DOUBLE)
                AS jaccard
     FROM s a JOIN s b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -2640,9 +2641,10 @@ _TOPK_K = 20
                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
                CAST(len(a.sh) AS BIGINT) AS na,
                CAST(len(b.sh) AS BIGINT) AS nb,
-               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) * 1.0 /
                      (len(a.sh) + len(b.sh)
-                      - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+                      - len(list_intersect(a.sh, b.sh)))
+                     AS DECIMAL(25,10)), 4) AS DOUBLE) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id
     )
     SELECT * FROM p ORDER BY jaccard DESC, a_id, b_id LIMIT {_TOPK_K}
@@ -2677,10 +2679,19 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md)
 
-# DuckDB twin of the per-label centroid: element-wise AVG, 1-based list
+# DuckDB twin of the per-label centroid: element-wise decimal-stabilized
+# AVG (exact DECIMAL(25,10) accumulation / count — plain double AVG is
+# order-dependent and drifts ~1e-13 run-to-run, enough to flip a 3dp
+# cosine rounding boundary; see queries/__init__.davg), 1-based list
 # indexing. Generated once at import; the oracle must stay a plain string.
 _DUCK_CENTROID = (
-    "[" + ", ".join(f"AVG(v[{i}])" for i in range(1, _EMB_DIM + 1)) + "]"
+    "["
+    + ", ".join(
+        f"CAST(SUM(CAST(v[{i}] AS DECIMAL(25,10))) AS DOUBLE)"
+        f" / COUNT(v[{i}])"
+        for i in range(1, _EMB_DIM + 1)
+    )
+    + "]"
 )
 
 
@@ -2739,8 +2750,17 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         n.groupBy("label")
         .agg(
+            # decimal-stabilized per-element mean: Spark's parallel double
+            # AVG is merge-order-dependent (~1e-13 drift run to run) —
+            # enough to flip bottom-3 membership when a cosine sits on a
+            # 3dp rounding boundary. Exact DECIMAL(25,10) accumulation
+            # (dsum10) makes the centroid bit-stable; the oracle mirrors
+            # it (_DUCK_CENTROID).
             F.array(
-                *[F.avg(F.col("v")[i]) for i in range(_EMB_DIM)]
+                *[
+                    dsum10(F.col("v")[i]) / F.count(F.col("v")[i])
+                    for i in range(_EMB_DIM)
+                ]
             ).alias("c")
         )
         .withColumn(
@@ -3060,7 +3080,9 @@ _CONT_MIN = 5
         FROM s a JOIN s b ON a.doc_id <> b.doc_id
         WHERE len(a.sh) >= {_CONT_MIN}
     )
-    SELECT a_id, b_id, inter, na, nb, ROUND(c, 4) AS containment
+    SELECT a_id, b_id, inter, na, nb,
+           CAST(ROUND(CAST(c AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS containment
     FROM pairs WHERE c >= {_CONT_T} ORDER BY a_id, b_id
     """,
     "training-data pipeline: asymmetric dedup — truncations, quoted "

@@ -44,8 +44,30 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _dround(col: Column, n: int = 4) -> Column:
+    """Boundary-stable ROUND (see queries/__init__.dround): similarity
+    ratios are small-integer quotients whose doubles sit on 4dp midpoints
+    (e.g. 159/160 = 0.99375); Spark rounds the shortest-decimal rendering
+    while DuckDB rounds the exact binary expansion, so plain double ROUND
+    can disagree between engines. Routing through DECIMAL(25,10) makes
+    both recover the intended decimal before the (half-away-from-zero)
+    decimal round. Oracle twin:
+    ``CAST(ROUND(CAST(x AS DECIMAL(25,10)), 4) AS DOUBLE)``."""
+    return F.round(col.cast("decimal(25,10)"), n).cast("double")
+
+
+def _prefix_bound(threshold: float, n: Column) -> Column:
+    """``n - ceil(t*n) + 1`` with epsilon slack INSIDE the ceil: t*n is
+    inexact in binary (the double for t may sit a hair above the intended
+    decimal), and an unslacked ceil coming out one high would SHORTEN the
+    prefix below the no-false-negative bound for pairs exactly at the
+    threshold. Subtracting 1e-9 first means the prefix can only err
+    longer — extra candidates just pay the verify."""
+    return n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
 
 
 def jaccard_similarity_join(
@@ -87,11 +109,8 @@ def jaccard_similarity_join(
         F.row_number().over(w_doc).alias("_r"),
         F.count("*").over(Window.partitionBy(doc_col)).alias("_n"),
     )
-    # prefix(|s|) = |s| - ceil(t*|s|) + 1
-    prefix = ranked.where(
-        F.col("_r")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    )
+    # prefix(|s|) = |s| - ceil(t*|s|) + 1 (epsilon-slacked, _prefix_bound)
+    prefix = ranked.where(F.col("_r") <= _prefix_bound(threshold, F.col("_n")))
 
     a = prefix.select(
         F.col(doc_col).alias("a_id"), *block, set_col,
@@ -171,7 +190,7 @@ def jaccard_similarity_join(
         inter.alias("inter"),
         F.col("na"),
         F.col("nb"),
-        F.round(jac, 4).alias("jaccard"),
+        _dround(jac).alias("jaccard"),
     ]
     if keep_raw:
         cols.append(jac.alias("_jaccard_raw"))
@@ -184,8 +203,9 @@ def jaccard_similarity_join(
 
 
 def prefix_length(set_size: int, threshold: float) -> int:
-    """The prefix-filter bound, exposed for tests/diagnostics."""
-    return set_size - math.ceil(threshold * set_size) + 1
+    """The prefix-filter bound, exposed for tests/diagnostics (same
+    epsilon slack as ``_prefix_bound`` — err longer, never shorter)."""
+    return set_size - math.ceil(threshold * set_size - 1e-9) + 1
 
 
 def topk_similar_pairs(
@@ -308,10 +328,7 @@ def containment_join(
         F.count("*").over(Window.partitionBy(doc_col)).alias("_n"),
     )
     a = ranked.where(
-        (
-            F.col("_r")
-            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-        )
+        (F.col("_r") <= _prefix_bound(threshold, F.col("_n")))
         & (F.col("_n") >= min_size)
     ).select(
         F.col(doc_col).alias("a_id"), set_col,
@@ -365,6 +382,6 @@ def containment_join(
             inter.alias("inter"),
             "na",
             "nb",
-            F.round(cont, 4).alias("containment"),
+            _dround(cont).alias("containment"),
         )
     )
