@@ -38,38 +38,31 @@ FLAGSHIP = "q01_bucket_lww"
 
 # The driver's correctness gate covers the first 50 registry entries per
 # round. Emit least-recently-driver-verified queries first so every query
-# accumulates a driver-green row across rounds. Round-8 rotation (VERDICT
-# r7 item 2): the 40 queries whose newest driver row is r6 (q08–q11,
-# q21–q35, q37–q38, q40–q41, q54–q58, q69–q70, q79, q81–q89) go first,
-# then q39 (oracle-ized this round via planted duplicate vectors — the
-# board's last grey cell); the remaining slots backfill from the r7-green
-# set in name order.
+# accumulates a driver-green row across rounds. Round-9 rotation (VERDICT
+# r8 item 1): the 48 queries whose newest driver row is r7 (q02–q07,
+# q12–q20, q36, q42–q53, q59–q68, q71–q78, q80, q90) go first; the two
+# remaining slots backfill from the r8-green set in name order, keeping
+# every query's newest driver evidence ≤1 round old.
 _PRIORITY = [
-    "q08_inner_join_agg", "q09_left_join", "q10_full_join",
-    "q11_semi_join", "q21_ranking_windows", "q22_lag_delta",
-    "q23_moving_avg", "q24_ntile", "q25_topk",
-    "q26_set_ops", "q27_string_fns", "q28_date_fns",
-    "q29_math_fns", "q30_conditional", "q31_exact_dedup",
-    "q32_token_stats", "q33_json_extract", "q34_cosine_topk",
-    "q35_minhash_neardup", "q37_ngram_jaccard_topk", "q38_knn_exact",
-    "q40_lang_id", "q41_quality_score", "q54_pivot",
-    "q55_unpivot", "q56_percentiles", "q57_range_join",
-    "q58_salted_agg", "q69_weighted_median", "q70_map_fns",
-    "q79_simjoin_threshold", "q81_merge_upsert", "q82_quantile_sketch",
-    "q83_gapfill", "q84_ewma", "q85_interval_join",
-    "q86_window_distinct", "q87_snapshot_diff", "q88_scd2_intervals",
-    "q89_fuzzy_probe",
-    "q39_ann_ivf",  # NEW oracle this round (planted duplicate vectors)
-    "q91_ann_ivfpq",  # NEW query this round (IVF-PQ; needs first evidence)
-    "q92_ann_filtered",  # NEW query this round (filtered vector search)
-    "q93_ann_lsh",  # NEW query this round (LSH-bucketed ANN)
-    "q94_label_outliers",  # NEW query this round (class-prototype outliers)
-    "q95_ngram_novelty",  # NEW query this round (first-occurrence novelty)
-    "q96_pmi_bigrams",  # NEW query this round (PMI collocations)
-    "q97_mixture_weights",  # NEW query this round (temperature mixing)
-    "q98_containment_dedup",  # NEW query this round (truncation dedup)
-    # backfill to 50 from the r7-green set, name order
-    "q01_bucket_lww",
+    "q02_rollup_xff", "q03_cascaded_rollup", "q04_range_fetch",
+    "q05_retention_filter", "q06_filter", "q07_projection_math",
+    "q12_anti_join", "q13_cross_join", "q14_theta_join",
+    "q15_multiway_join", "q16_exact_distinct", "q17_grouping_sets",
+    "q18_rollup", "q19_cube", "q20_stats_aggs",
+    "q36_simhash_neardup", "q42_token_count_bpe", "q43_doc_fingerprint",
+    "q44_mm_metadata", "q45_mm_features", "q46_frame_sample",
+    "q47_embedding_neardup", "q48_sessionize", "q49_decode_resize",
+    "q50_asof_join", "q51_dedup_clusters", "q52_hash_sample",
+    "q53_text_clean", "q59_array_fns", "q60_pii_redact",
+    "q61_stratified_sample", "q62_embedding_quantize", "q63_chunking",
+    "q64_tfidf_top_term", "q65_repetition_score", "q66_contamination",
+    "q67_canonical_pick", "q68_bm25_topk", "q71_bigram_lm_score",
+    "q72_span_dedup", "q73_pack_contexts", "q74_quality_blend",
+    "q75_scalar_subquery", "q76_value_windows", "q77_funnel",
+    "q78_cohort_retention", "q80_sorted_collect",
+    "q90_topk_simjoin_ladder",
+    # backfill to 50 from the r8-green set, name order
+    "q01_bucket_lww", "q08_inner_join_agg",
 ]
 
 
