@@ -499,11 +499,15 @@ def search_lsh(
     bands: int = 2,
     seed: int = 7,
     where: "Column | str | None" = None,
+    dim: "int | None" = None,
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: rank only corpus rows that share at
     least one signature band with the query. Same output contract as
     ``search_ivf`` (q_id, n_id, cos, rn; ties by n_id; self-matches
-    excluded); ``where`` is the same pre-filter semantics.
+    excluded); ``where`` is the same pre-filter semantics. Pass ``dim``
+    (the embedding width — callers know it) so plan construction fires
+    no Spark job; omitting it falls back to a one-row driver probe,
+    which also cannot work when the pre-filter empties the corpus.
 
     Positioning: LSH banding is a HIGH-similarity retriever — band
     collision probability is (1 - theta/pi)^band_bits per band, so at
@@ -527,7 +531,19 @@ def search_lsh(
 
     if where is not None:
         n = n.where(where)
-    dim = len(n.select("v").first()["v"])
+    if dim is None:
+        # Last-resort probe only: this is a driver action (one Spark job)
+        # fired at PLAN-BUILD time, and on a corpus the pre-filter empties
+        # it has no row to read. Callers know their embedding width — pass
+        # ``dim`` so plan construction stays job-free (plan-audit-pinned
+        # in tests/test_ann.py).
+        row = n.select("v").first()
+        if row is None:
+            raise ValueError(
+                "search_lsh: corpus is empty after the pre-filter and no "
+                "dim was given — pass dim explicitly"
+            )
+        dim = len(row["v"])
     planes = hyperplanes(dim, h=h, seed=seed)
     band_bits = h // bands
     corpus = n.select(

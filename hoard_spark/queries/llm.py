@@ -946,7 +946,7 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
     )
     return (
-        search_lsh(n, probes, k=1)
+        search_lsh(n, probes, k=1, dim=_EMB_DIM)
         .select("q_id", "n_id", "cos")
         .orderBy("q_id")
     )

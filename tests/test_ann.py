@@ -315,3 +315,49 @@ def test_pq_rerank_reproduces_uncompressed_ivf(spark, emb):
         ).collect()
     }
     assert ivf and pq == ivf
+
+
+def test_lsh_plan_build_is_job_free_with_dim(spark, emb):
+    """VERDICT r8 item 5: with ``dim`` given, ``search_lsh`` must build
+    its plan WITHOUT firing a Spark job (the old ``first()`` dim probe
+    was a driver action at plan-construction time). Jobs are counted in
+    a dedicated job group, the same exact-count pattern as
+    tests/test_propagate_scale.py."""
+    from hoard_spark.ann import search_lsh
+
+    n = normalized(emb.select("vec_id", "embedding"))
+    probes = n.limit(2).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sc = spark.sparkContext
+    group = "lsh-planbuild-jobcount"
+    sc.setJobGroup(group, "search_lsh plan construction must be job-free")
+    try:
+        plan = search_lsh(n, probes, k=1, dim=64)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs == 0, f"plan construction fired {jobs} job(s)"
+    assert plan.columns == ["q_id", "n_id", "cos", "rn"]
+
+
+def test_lsh_empty_prefiltered_corpus_needs_dim(spark, emb):
+    """Without ``dim``, an empty (pre-filtered) corpus has no row for
+    the fallback probe to read — the API must raise a clear error, not
+    crash on None; with ``dim`` the same search plans fine and returns
+    empty."""
+    from hoard_spark.ann import search_lsh
+
+    n = normalized(emb.select("vec_id", "embedding"))
+    probes = n.limit(1).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pred = F.col("vec_id") < 0  # empties the corpus
+    with pytest.raises(ValueError, match="dim"):
+        search_lsh(n, probes, k=1, where=pred)
+    assert search_lsh(n, probes, k=1, where=pred, dim=64).count() == 0
