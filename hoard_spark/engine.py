@@ -92,6 +92,7 @@ class HoardEngine:
         warehouse_dir: str,
         metric_buckets: int | None = None,
         fetch_driver_max_files: int = 32,
+        propagate_touched_cap: int = 100_000,
     ):
         """``metric_buckets``: opt-in hash-bucketed layout for very-high-
         cardinality metric spaces. With N buckets the partition scheme is
@@ -102,12 +103,23 @@ class HoardEngine:
         row groups within it. The layout choice is persisted with the
         warehouse (the stored value wins on reopen) because it is a
         physical property of the written data.
+
+        ``propagate_touched_cap``: the rollup cascade scopes its recompute
+        to the exact (metric, date) pairs a batch touched, which needs one
+        driver-side ``distinct().collect()``. For streaming micro-batches
+        that list is tiny (metrics x days-per-batch), but a multi-year x
+        100k-metric BACKFILL would pull millions of pairs through the
+        driver — above this cap the engine skips the list entirely and
+        recomputes each cascade tier over the batch's min/max bucket range
+        as a scan predicate instead (value-equal; pinned by
+        tests/test_propagate_scale.py). 0 disables the capped path.
         """
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         # fetch() windows whose pruned partition list is at most this many
         # parquet files are read driver-side (no Spark job); 0 disables
         self.fetch_driver_max_files = fetch_driver_max_files
+        self.propagate_touched_cap = propagate_touched_cap
         self.fs = WarehouseFS(spark)  # data plane: works on file://, HDFS, S3
         # Control plane (catalog/seq/layout JSON) is driver-local plain
         # I/O by design; normalize local file: URI forms to the OS path
@@ -564,6 +576,7 @@ class HoardEngine:
         # ``touched_by_tier`` may arrive precomputed (streaming ingest
         # collects it in the same job that discovers the batch's metrics
         # and fills the pending cache — no second distinct pass here).
+        range_by_tier: dict[int, tuple[int, int]] | None = None
         if touched_by_tier is None and batch is not None:
             batch = batch.select("metric", "tier", "bucket_ts")
             # (metric, date) pairs affected per cascade tier: rows routed
@@ -588,11 +601,49 @@ class HoardEngine:
             un = frames[0]
             for f in frames[1:]:
                 un = un.unionByName(f)
-            touched_by_tier = {}
-            for r in un.distinct().collect():
-                touched_by_tier.setdefault(r["tk"], set()).add(
-                    (r["metric"], str(r["d"]))
+            cap = self.propagate_touched_cap
+            rows = (
+                un.distinct().limit(cap + 1).collect()
+                if cap > 0
+                else un.distinct().collect()
+            )
+            if cap > 0 and len(rows) > cap:
+                # Backfill-scale batch: the touched list would flood the
+                # driver. Fall back to per-tier min/max bucket spans (one
+                # #tiers-row agg job) and recompute each cascade tier over
+                # that date range as a predicate — a superset of the
+                # touched scope, so value-equal by construction.
+                spans = {
+                    r["tier"]: (r["lo"], r["hi"])
+                    for r in batch.groupBy("tier")
+                    .agg(
+                        F.min("bucket_ts").alias("lo"),
+                        F.max("bucket_ts").alias("hi"),
+                    )
+                    .collect()
+                }
+                range_by_tier = {}
+                for tier_k, _, _lspp in cascade:
+                    los = [lo for t, (lo, _) in spans.items() if t <= tier_k]
+                    his = [hi for t, (_, hi) in spans.items() if t <= tier_k]
+                    if los:
+                        range_by_tier[tier_k] = (min(los), max(his))
+                # only metrics the batch actually carries get the
+                # materialized flag (bounded by the metric universe — the
+                # caller's ``metrics`` list is already that size; it is
+                # the metrics x days product the cap avoids): a passed-
+                # but-absent metric was recomputed only within the range,
+                # so flagging its rollup complete would be wrong.
+                batch_metrics = sorted(
+                    r["metric"]
+                    for r in batch.select("metric").distinct().collect()
                 )
+            else:
+                touched_by_tier = {}
+                for r in rows:
+                    touched_by_tier.setdefault(r["tk"], set()).add(
+                        (r["metric"], str(r["d"]))
+                    )
 
         for tier_k, higher_spp, lower_spp in cascade:
             touched_pairs: list[tuple[str, str]] | None = None
@@ -604,6 +655,21 @@ class HoardEngine:
                 dates = sorted({d for _, d in touched_pairs})
                 lo = _day_start(dates[0])
                 hi = _day_start(dates[-1]) + 86400 + lower_spp
+                ts_range = (align_ts(lo, lower_spp), hi)
+            elif range_by_tier is not None:
+                span = range_by_tier.get(tier_k)
+                if span is None:
+                    continue
+                # same day-aligned window the touched path derives from its
+                # date list: every (metric, date) partition the write will
+                # replace is recomputed over its FULL day, and the range is
+                # aligned down to a lower-bucket boundary so the first
+                # covered bucket sees all its higher-tier rows.
+                lo_b, hi_b = align_ts(span[0], lower_spp), align_ts(
+                    span[1], lower_spp
+                )
+                lo = lo_b - (lo_b % 86400)
+                hi = hi_b - (hi_b % 86400) + 86400 + lower_spp
                 ts_range = (align_ts(lo, lower_spp), hi)
 
             # ts_range prunes the scans to the touched date partitions (a
@@ -733,7 +799,7 @@ class HoardEngine:
                 tier_k,
                 sorted({m for m, _ in touched_pairs})
                 if touched_pairs is not None
-                else metrics,
+                else (batch_metrics if range_by_tier is not None else metrics),
             )
 
     # --------------------------------------------------------------- fetch

@@ -188,9 +188,27 @@ def _collect_touched(engine, prepared, by_sig):
     un = frames[0]
     for f in frames[1:]:
         un = un.unionByName(f)
+    # Steady-state micro-batches touch (metrics x days-per-batch) pairs —
+    # tiny — but a backfill batch replaying years of history would pull a
+    # huge list through the driver. Above the engine's cap, collect only
+    # the present-metric set (bounded by the metric universe) and hand the
+    # batch itself to propagate_many, whose own capped path recomputes
+    # each tier over the batch's min/max date range as a predicate.
+    cap = getattr(engine, "propagate_touched_cap", 0) or 0
+    rows = (
+        un.distinct().limit(cap + 1).collect()
+        if cap > 0
+        else un.distinct().collect()
+    )
     present: dict[int, set] = {}
+    if cap > 0 and len(rows) > cap:
+        for r in (
+            prepared.select("_sig", "metric").distinct().collect()
+        ):
+            present.setdefault(r["_sig"], set()).add(r["metric"])
+        return present, None
     touched: dict[int, dict[int, set]] = {}
-    for r in un.distinct().collect():
+    for r in rows:
         present.setdefault(r["sid"], set()).add(r["metric"])
         touched.setdefault(r["sid"], {}).setdefault(r["tk"], set()).add(
             (r["metric"], str(r["d"]))
@@ -236,13 +254,23 @@ def _apply_microbatch(engine, prepared, by_sig, present, touched, now, propagate
                 # ONE multi-metric cascade per policy group: O(tiers)
                 # Spark jobs, independent of metric count, scoped by the
                 # precomputed touched sets (no second distinct pass).
-                engine.propagate_many(
-                    mets,
-                    pending=prepared.where(F.col("_sig") == sid),
-                    touched_by_tier={
-                        k: v for k, v in touched[sid].items() if k >= 1
-                    },
-                )
+                # touched=None => the batch blew the touched-pair cap
+                # (backfill): hand the rows to propagate_many as `batch`
+                # and let its capped path derive per-tier date-range
+                # predicates instead of a driver list.
+                sig_rows = prepared.where(F.col("_sig") == sid)
+                if touched is None:
+                    engine.propagate_many(
+                        mets, batch=sig_rows, pending=sig_rows
+                    )
+                else:
+                    engine.propagate_many(
+                        mets,
+                        pending=sig_rows,
+                        touched_by_tier={
+                            k: v for k, v in touched[sid].items() if k >= 1
+                        },
+                    )
     finally:
         writer.join()
     if err:

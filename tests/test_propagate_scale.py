@@ -122,3 +122,51 @@ def test_one_catalog_write_per_microbatch(spark, tmp_path, monkeypatch):
         f"{saves['n']} catalog writes for one micro-batch of {N_METRICS} "
         "metrics — control plane is per-metric again"
     )
+
+
+def test_backfill_over_touched_cap_matches_uncapped(spark, tmp_path):
+    """VERDICT r8 item 4: a multi-metric HISTORICAL backfill whose
+    (metric, day) touched list exceeds ``propagate_touched_cap`` must
+    skip the driver-side touched collect and recompute each cascade tier
+    over the batch's min/max date range instead — value-equal to the
+    uncapped path (rollups, materialized flags, and fetch)."""
+    from hoard_spark.engine import HoardEngine
+
+    archives = [(3600, 24 * 30), (86400, 60)]  # hourly raw -> daily tier
+
+    def batch():
+        rows = []
+        for m in range(4):
+            for d in range(3):
+                for h in range(24):
+                    ts = NOW - 86400 * (d + 1) + 3600 * h
+                    rows.append(
+                        (f"b{m}", ts, float(m * 100 + d * 10 + h))
+                    )
+        return spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+
+    def run(cap):
+        eng = HoardEngine(
+            spark,
+            str(tmp_path / f"wh_cap{cap}"),
+            propagate_touched_cap=cap,
+        )
+        for m in range(4):
+            eng.create(f"b{m}", archives)
+        ingest_microbatch(eng, batch(), batch_id=0, now=NOW)
+        roll = sorted(
+            (r["tier"], r["metric"], r["bucket_ts"],
+             round(r["value"], 9), r["known"])
+            for r in eng._read_rollups().collect()
+        )
+        return eng, roll
+
+    eng_u, roll_u = run(10**6)  # touched list far below cap: exact path
+    eng_c, roll_c = run(2)  # 4 metrics x ~4 coarse days >> 2: capped path
+    assert roll_u and roll_c == roll_u
+    assert eng_c._materialized == eng_u._materialized
+    ti_u, v_u = eng_u.fetch("b1", NOW - 86400 * 3, NOW, now=NOW)
+    ti_c, v_c = eng_c.fetch("b1", NOW - 86400 * 3, NOW, now=NOW)
+    assert ti_u == ti_c and v_u == v_c
