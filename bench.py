@@ -51,6 +51,13 @@ NOTES = {
         "cold timing includes building + persisting the corpus cluster "
         "table artifact that q67 then reuses"
     ),
+    "q35_minhash_neardup": (
+        "cold timing includes building + persisting the corpus shingle "
+        "table artifact (posexplode + window + min-pos aggregate) that "
+        "q36/q37/q51/q66/q79/q90/q95/q98 then reuse as a parquet scan; "
+        "the augmented-corpus queries derive their planted sides from "
+        "it by pure filters (no re-shingling)"
+    ),
     "q39_ann_ivf": (
         "cold timing includes building + persisting the corpus-keyed "
         "IVF-PQ index artifact (train + assign + encode) that q91 then "

@@ -39,7 +39,9 @@ _DUCK_SHINGLES = (
 )
 
 
-def shingle_rows_of(docs: DataFrame, width: int = 3) -> DataFrame:
+def shingle_rows_of(
+    docs: DataFrame, width: int = 3, with_pos: bool = False
+) -> DataFrame:
     """documents DataFrame → one row per DISTINCT word-``width``-gram
     shingle: (doc_id, lang, source, s).
 
@@ -59,6 +61,13 @@ def shingle_rows_of(docs: DataFrame, width: int = 3) -> DataFrame:
     directly: at 10x data on the 31-word testdata vocabulary, width 3
     (domain ~30k) lets df grow ∝ N and the prefix join goes quadratic,
     while width 5 (domain ~28.6M) keeps df flat and the slope linear.
+
+    ``with_pos``: additionally keep ``pos`` = the 0-based start position
+    of the shingle's FIRST occurrence in the doc (same shuffle — a
+    min-aggregate replaces the distinct). A prefix truncation to k
+    tokens then has exactly the shingles with ``pos + width - 1 < k``,
+    which lets truncation-derived corpora (q98) be pure FILTERS of the
+    materialized shingle artifact instead of a re-shingling pass.
     """
     from pyspark.sql import Window
 
@@ -73,22 +82,48 @@ def shingle_rows_of(docs: DataFrame, width: int = 3) -> DataFrame:
     gram = F.concat_ws(
         " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, width)]
     )
-    return (
-        toks.select(
-            "doc_id",
-            "lang",
-            "source",
-            gram.alias("s"),
-            last.alias("_last"),
+    rows = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        gram.alias("s"),
+        last.alias("_last"),
+        "pos",
+    ).where(F.col("_last").isNotNull())
+    if with_pos:
+        return rows.groupBy("doc_id", "lang", "source", "s").agg(
+            F.min("pos").alias("pos")
         )
-        .where(F.col("_last").isNotNull())
-        .select("doc_id", "lang", "source", "s")
-        .distinct()
-    )
+    return rows.select("doc_id", "lang", "source", "s").distinct()
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shingle_rows_of(load(spark, sf_dir, "documents"))
+    """Corpus-keyed MATERIALIZED shingle table (VERDICT r8 item 2).
+
+    Eight conformance queries (q35/q36/q37/q66/q79/q90/q95/q98) and the
+    q51 cluster build all start from the same distinct
+    (doc_id, lang, source, s) rows, and the posexplode + window +
+    distinct build is the dominant stage of each — so it is built ONCE
+    per corpus fingerprint and persisted as parquet via
+    ``hoard_spark.artifacts`` (the same pattern as the cluster table and
+    the ANN index). Consumers get a column-prunable parquet scan. The
+    stored ``pos`` (first-occurrence start position) lets the
+    augmented-corpus queries derive their planted sides WITHOUT any
+    re-shingling: exact clones (q36) are an id-shifted filter,
+    truncations (q98) a position filter, suffix clones (q90) a filter
+    plus ``width`` literal boundary grams.
+    """
+    from hoard_spark.artifacts import get_or_build
+
+    return get_or_build(
+        spark,
+        sf_dir,
+        "shingle_rows_pos",
+        ("documents",),
+        lambda: shingle_rows_of(
+            load(spark, sf_dir, "documents"), with_pos=True
+        ),
+    )
 
 
 def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,12 +422,20 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, threshold: int = 8) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame | None,
+    threshold: int = 8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """SimHash near-dup pairs over any documents frame → (a_id, b_id,
     hamming): 64-bit shingle signature, 16-bit-band candidate join,
     hamming <= ``threshold`` exact verify. The general library form; the
     conformance twin q36 runs it over a planted-clone corpus so the
     driver can hash-check it (VERDICT r6 item 3).
+
+    ``shingles``: optional precomputed distinct (doc_id, s) rows (e.g.
+    the per-corpus materialized shingle artifact) — skips the
+    posexplode+distinct build, which otherwise dominates the query.
 
     Features are 3-gram SHINGLES, not unigrams: the synthetic corpus
     reuses a tiny vocabulary, so unigram simhashes collapse (hamming<=3
@@ -401,9 +444,11 @@ def simhash_pairs(docs: DataFrame, threshold: int = 8) -> DataFrame:
     computed as codegen'd SUM aggregates over the shingle rows — one
     shuffle, map-side partial agg, fully whole-stage-codegen.
     """
-    feats = shingle_rows_of(docs).select(
-        "doc_id", F.xxhash64("s").alias("fh")
-    )
+    if shingles is None:
+        if docs is None:
+            raise ValueError("simhash_pairs: pass docs or shingles")
+        shingles = shingle_rows_of(docs)
+    feats = shingles.select("doc_id", F.xxhash64("s").alias("fh"))
     # vote_b = (+1 per set bit, -1 per clear bit) = 2*sum(bit_b) - n, so
     # vote_b >= 0  <=>  2*sum(bit_b) >= n. The 64 bit-sums are packed into
     # 16 SUM buffers of 4 x 16-bit lanes each (long g holds bits b = 16j+g
@@ -518,11 +563,16 @@ _CLONE_PRED = (
     "oracle per VERDICT r6 item 3)",
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    clones = docs.where(F.expr(_CLONE_PRED)).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(_CLONE_OFFSET)
+    # An exact clone's shingle set IS its source's with doc_id shifted
+    # (and the <3-token gate is already encoded in the artifact: such
+    # docs have no shingle rows), so the augmented corpus's shingle
+    # table is the materialized base artifact plus an id-shifted filter
+    # of itself — no re-shingling of any text.
+    sh = _shingle_rows(spark, sf_dir).select("doc_id", "s")
+    clone_sh = sh.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(_CLONE_OFFSET)).alias("doc_id"), "s"
     )
-    pairs = simhash_pairs(docs.unionByName(clones))
+    pairs = simhash_pairs(None, shingles=sh.unionByName(clone_sh))
     # keep only the planted pairs: the raw corpus's own near-dups (and a
     # clone's matches against OTHER docs) are not SQL-predictable
     return pairs.where(
@@ -2661,15 +2711,54 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation the ladder's pruning avoids."""
     from hoard_spark.simjoin import topk_similar_pairs
 
-    docs = load(spark, sf_dir, "documents")
-    clones = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(_TOPK_SUFFIX)).alias("text"),
-        "lang",
-        "source",
+    # A suffix clone's shingle set is its source's set plus the <=3
+    # boundary grams that cross into the appended tokens — so the whole
+    # augmented corpus derives from the materialized shingle artifact
+    # with NO re-shingling: an id-shifted filter for the body plus a
+    # map-side literal projection for the boundary (suffix tokens never
+    # occur in the corpus text, so boundary grams cannot duplicate body
+    # grams).
+    art = _shingle_rows(spark, sf_dir)
+    base_sh = art.select("doc_id", "s")
+    clone_body = art.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"), "s"
     )
-    aug = docs.select("doc_id", "text", "lang", "source").unionByName(clones)
-    sh = track_cache(shingle_rows_of(aug).select("doc_id", "s"))
+    sfx = _TOPK_SUFFIX.split()
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " +")
+    m = F.size(toks)
+    nonblank = F.length(F.trim("text")) > 0
+    boundary = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"),
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        nonblank & (m >= 2),
+                        F.concat_ws(
+                            " ",
+                            F.get(toks, m - 2),
+                            F.get(toks, m - 1),
+                            F.lit(sfx[0]),
+                        ),
+                    ),
+                    F.when(
+                        nonblank,
+                        F.concat_ws(
+                            " ",
+                            F.get(toks, m - 1),
+                            F.lit(sfx[0]),
+                            F.lit(sfx[1]),
+                        ),
+                    ),
+                    F.lit(" ".join(sfx)),
+                )
+            )
+        ).alias("s"),
+    )
+    sh = track_cache(
+        base_sh.unionByName(clone_body).unionByName(boundary)
+    )
     return topk_similar_pairs(sh, _TOPK_K, ladder=(0.7, 0.5))
 
 
@@ -2820,8 +2909,8 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence novelty in two shuffles: the per-doc DISTINCT
-    shingle set comes out of ``shingle_rows_of`` (posexplode + lead,
-    whole-stage codegen), the min-doc_id-per-gram window shuffles on the
+    shingle set is a scan of the materialized shingle artifact
+    (``_shingle_rows``), the min-doc_id-per-gram window shuffles on the
     gram (high cardinality — V^3 domain — so no skewed reducer), and the
     per-doc ratio re-aggregates on doc_id. Nothing is quadratic and no
     gram list is ever collected; at 100 TB this is the same
@@ -2831,9 +2920,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_new/n_grams is a small-integer ratio, exactly the population that
     hits true 4dp midpoints where double ROUND diverges between
     engines."""
-    rows = shingle_rows_of(load(spark, sf_dir, "documents")).select(
-        "doc_id", "s"
-    )
+    rows = _shingle_rows(spark, sf_dir).select("doc_id", "s")
     from pyspark.sql import Window
 
     first = F.min("doc_id").over(Window.partitionBy("s"))
@@ -3099,21 +3186,31 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial (one containment-1.0 row per planted copy, minimum)."""
     from hoard_spark.simjoin import containment_join
 
+    # A prefix truncation to k tokens contains exactly the shingles
+    # whose first occurrence starts at 0-based pos <= k-3 — so the
+    # truncated side is a pure position FILTER of the materialized
+    # shingle artifact (its stored ``pos``), joined with the per-doc k
+    # (a cheap scalar projection over documents): no re-shingling.
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " +")
     k = F.greatest(
         F.lit(3), F.ceil(F.lit(0.6) * F.size(toks)).cast("int")
     )
-    clones = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
-        "lang",
-        "source",
+    ks = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", k.alias("_k")
     )
-    aug = docs.select("doc_id", "text", "lang", "source").unionByName(
-        clones
+    art = _shingle_rows(spark, sf_dir)
+    clone_sh = (
+        art.where(F.col("doc_id") % 10 == 0)
+        .join(ks, "doc_id")
+        .where(F.col("pos") + F.lit(2) < F.col("_k"))
+        .select(
+            (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"), "s"
+        )
     )
-    sh = track_cache(shingle_rows_of(aug).select("doc_id", "s"))
+    sh = track_cache(
+        art.select("doc_id", "s").unionByName(clone_sh)
+    )
     return (
         containment_join(sh, _CONT_T, min_size=_CONT_MIN)
         .orderBy("a_id", "b_id")

@@ -398,3 +398,114 @@ def test_q97_weights_sum_to_one_and_track_alpha(spark):
     if lo["share"] < hi["share"]:  # non-degenerate source mix
         assert lo["weight"] >= lo["share"]
         assert hi["weight"] <= hi["share"]
+
+
+def test_artifact_filter_derivations_match_reshingling(spark):
+    """The augmented-corpus queries derive their planted sides from the
+    pos-carrying shingle table by pure filters/projections (VERDICT r8
+    item 2). Pin the three derivations against ground truth — literally
+    re-shingling the constructed clone text — on a corpus that hits the
+    edges: blank doc, 1/2-token docs, duplicate trigram at the tail.
+    """
+    from hoard_spark.queries.llm import shingle_rows_of
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g", "en", "web"),
+            (10, "x y", "en", "web"),
+            (20, "", "en", "web"),
+            (30, "p q r p q r", "en", "web"),  # duplicate tail trigram
+            (40, "solo", "en", "web"),
+            (50, "k l m n", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    art = shingle_rows_of(docs, with_pos=True)
+
+    # --- exact clone (q36 shape): id-shifted filter of the artifact
+    got = {
+        (r["doc_id"], r["s"])
+        for r in art.select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "s"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["s"])
+        for r in shingle_rows_of(
+            docs.withColumn("doc_id", F.col("doc_id") + 1000)
+        ).collect()
+    }
+    assert got == want
+
+    # --- suffix clone (q90 shape): body filter + boundary literals
+    sfx = ["qq7z", "xx8z", "vv9z"]
+    toks = F.split(F.trim("text"), " +")
+    m = F.size(toks)
+    nonblank = F.length(F.trim("text")) > 0
+    boundary = docs.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        nonblank & (m >= 2),
+                        F.concat_ws(
+                            " ",
+                            F.get(toks, m - 2),
+                            F.get(toks, m - 1),
+                            F.lit(sfx[0]),
+                        ),
+                    ),
+                    F.when(
+                        nonblank,
+                        F.concat_ws(
+                            " ", F.get(toks, m - 1), F.lit(sfx[0]), F.lit(sfx[1])
+                        ),
+                    ),
+                    F.lit(" ".join(sfx)),
+                )
+            )
+        ).alias("s"),
+    )
+    body = art.select((F.col("doc_id") + 2000).alias("doc_id"), "s")
+    got = {
+        (r["doc_id"], r["s"])
+        for r in body.unionByName(boundary).collect()
+    }
+    want = {
+        (r["doc_id"], r["s"])
+        for r in shingle_rows_of(
+            docs.select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" " + " ".join(sfx))).alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+            )
+        ).collect()
+    }
+    assert got == want
+
+    # --- truncation (q98 shape): pos filter with per-doc k
+    k = F.greatest(F.lit(3), F.ceil(F.lit(0.6) * m).cast("int"))
+    ks = docs.select("doc_id", k.alias("_k"))
+    got = {
+        (r["doc_id"], r["s"])
+        for r in art.join(ks, "doc_id")
+        .where(F.col("pos") + F.lit(2) < F.col("_k"))
+        .select((F.col("doc_id") + 3000).alias("doc_id"), "s")
+        .collect()
+    }
+    want = {
+        (r["doc_id"], r["s"])
+        for r in shingle_rows_of(
+            docs.select(
+                (F.col("doc_id") + 3000).alias("doc_id"),
+                F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
+                "lang",
+                "source",
+            )
+        ).collect()
+    }
+    assert got == want
