@@ -53,10 +53,12 @@ NOTES = {
     ),
     "q35_minhash_neardup": (
         "cold timing includes building + persisting the corpus shingle "
-        "table artifact (posexplode + window + min-pos aggregate) that "
+        "table artifact (posexplode + window + min-pos aggregate, plus "
+        "the prefix-filter rank columns _df/_r/_n) that "
         "q36/q37/q51/q66/q79/q90/q95/q98 then reuse as a parquet scan; "
         "the augmented-corpus queries derive their planted sides from "
-        "it by pure filters (no re-shingling)"
+        "it by pure filters (no re-shingling) and the simjoin family "
+        "reads its ranked posting table straight off the scan"
     ),
     "q39_ann_ivf": (
         "cold timing includes building + persisting the corpus-keyed "

@@ -1,0 +1,36 @@
+"""Session-scoped cache registry shared by query builders and operators.
+
+Persisting is load-bearing in two ways: it is the InMemoryRelation
+barrier that stops Catalyst from inlining expensive expressions into
+both sides of a self-join, and it stops a multi-consumer subtree (a
+candidate-pair table read by both the count job and the verify join)
+from being recomputed per consumer. An unbounded session would otherwise
+accumulate caches, so builders register here and callers (bench.py,
+tests, library users) release with :func:`release_caches` after the
+terminal action.
+
+Lives outside ``hoard_spark.queries`` so library operators
+(``hoard_spark.simjoin`` etc.) can use it without importing the query
+registry; ``hoard_spark.queries`` re-exports both names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and register it for later release."""
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame a builder cached in this session."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()

@@ -41,28 +41,10 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
-# DataFrames persisted by query builders (LSH signature/band tables etc.).
-# Persisting is load-bearing — it is the InMemoryRelation barrier that stops
-# Catalyst from inlining expensive expressions into both sides of a
-# self-join — but an unbounded session would otherwise accumulate caches.
-# Builders register via track_cache(); callers (bench.py, tests, library
-# users) release with release_caches() after the terminal action.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def track_cache(df: DataFrame) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK) and register it for later release."""
-    from pyspark import StorageLevel
-
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every DataFrame a query builder cached in this session."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+# Cache registry moved to hoard_spark.cache so library operators
+# (simjoin etc.) can persist multi-consumer subtrees without importing
+# the query registry; re-exported here for the existing import sites.
+from hoard_spark.cache import release_caches, track_cache  # noqa: E402,F401
 
 
 def query(name: str, description: str, oracle: str | None, survey_ref: str):

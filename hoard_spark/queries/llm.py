@@ -112,16 +112,26 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shingling: exact clones (q36) are an id-shifted filter,
     truncations (q98) a position filter, suffix clones (q90) a filter
     plus ``width`` literal boundary grams.
+
+    The table also stores the prefix-filter rank columns ``_df/_r/_n``
+    (``simjoin.rank_shingle_rows``): they are intrinsic to (the doc's
+    own rows, the global rarest-first order), so q79 reads its ranked
+    posting table straight off the parquet scan, and the augmented
+    corpora (q90/q98) re-rank only their ~10% clone rows while base
+    docs reuse the stored ranks. Consumers that want none of this
+    (q35/q36/q66/q95) prune the columns at the scan.
     """
     from hoard_spark.artifacts import get_or_build
+    from hoard_spark.simjoin import rank_shingle_rows
 
     return get_or_build(
         spark,
         sf_dir,
-        "shingle_rows_pos",
+        "shingle_rows_ranked",
         ("documents",),
-        lambda: shingle_rows_of(
-            load(spark, sf_dir, "documents"), with_pos=True
+        lambda: rank_shingle_rows(
+            shingle_rows_of(load(spark, sf_dir, "documents"), with_pos=True),
+            keep=["lang", "source", "pos"],
         ),
     )
 
@@ -629,7 +639,9 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     hoard_spark/simjoin.py (q79): at t=0.5 it cuts sf0.1 pair-shingle
     meetings 16,317 → 75 (218×), measured r6.
     """
-    inv = track_cache(_shingle_rows(spark, sf_dir))
+    inv = track_cache(
+        _shingle_rows(spark, sf_dir).select("doc_id", "lang", "source", "s")
+    )
     a = inv.select(F.col("doc_id").alias("a_id"), "lang", "source", "s")
     b = inv.select(F.col("doc_id").alias("b_id"), "lang", "source", "s")
     inter = (
@@ -2649,7 +2661,11 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hoard_spark.simjoin import jaccard_similarity_join
 
-    sh = track_cache(_shingle_rows(spark, sf_dir))
+    sh = track_cache(
+        _shingle_rows(spark, sf_dir).select(
+            "doc_id", "lang", "source", "s", "_df", "_r", "_n"
+        )
+    )
     return jaccard_similarity_join(
         sh, threshold=0.5, block=["lang", "source"]
     ).orderBy("a_id", "b_id")
@@ -2717,11 +2733,19 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with NO re-shingling: an id-shifted filter for the body plus a
     # map-side literal projection for the boundary (suffix tokens never
     # occur in the corpus text, so boundary grams cannot duplicate body
-    # grams).
+    # grams). Base docs reuse the artifact's stored prefix-filter ranks
+    # (_df/_r/_n are intrinsic to the doc under the shared order —
+    # adding clones cannot change them); only the ~10% clone rows are
+    # re-ranked, with boundary-gram df computed over the tiny boundary
+    # table itself so the shared rarest-first order stays truthful.
+    from hoard_spark.simjoin import rank_shingle_rows
+
     art = _shingle_rows(spark, sf_dir)
-    base_sh = art.select("doc_id", "s")
+    base_sh = art.select("doc_id", "s", "_df", "_r", "_n")
     clone_body = art.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"), "s"
+        (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"),
+        "s",
+        "_df",
     )
     sfx = _TOPK_SUFFIX.split()
     docs = load(spark, sf_dir, "documents")
@@ -2756,9 +2780,14 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    sh = track_cache(
-        base_sh.unionByName(clone_body).unionByName(boundary)
-    )
+    # boundary-gram df over the boundary table itself (tiny: <=3 rows
+    # per clone; suffix tokens never occur in corpus text, so these
+    # grams are disjoint from the artifact's and the single-valued-df
+    # invariant holds across the union)
+    bdf = boundary.groupBy("s").agg(F.count("*").alias("_df"))
+    boundary = boundary.join(bdf, "s").select("doc_id", "s", "_df")
+    clones = rank_shingle_rows(clone_body.unionByName(boundary))
+    sh = track_cache(base_sh.unionByName(clones))
     return topk_similar_pairs(sh, _TOPK_K, ladder=(0.7, 0.5))
 
 
@@ -3191,6 +3220,12 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncated side is a pure position FILTER of the materialized
     # shingle artifact (its stored ``pos``), joined with the per-doc k
     # (a cheap scalar projection over documents): no re-shingling.
+    # Base docs reuse the artifact's stored prefix-filter ranks; the
+    # truncated rows keep their _df (the order key, still single-valued
+    # — same grams, same value) but their _r/_n are stale after the
+    # filter, so only the ~10% clone rows pay a re-ranking window.
+    from hoard_spark.simjoin import rank_shingle_rows
+
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " +")
     k = F.greatest(
@@ -3200,16 +3235,18 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", k.alias("_k")
     )
     art = _shingle_rows(spark, sf_dir)
-    clone_sh = (
+    clone_sh = rank_shingle_rows(
         art.where(F.col("doc_id") % 10 == 0)
         .join(ks, "doc_id")
         .where(F.col("pos") + F.lit(2) < F.col("_k"))
         .select(
-            (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"), "s"
+            (F.col("doc_id") + F.lit(_CONT_OFFSET)).alias("doc_id"),
+            "s",
+            "_df",
         )
     )
     sh = track_cache(
-        art.select("doc_id", "s").unionByName(clone_sh)
+        art.select("doc_id", "s", "_df", "_r", "_n").unionByName(clone_sh)
     )
     return (
         containment_join(sh, _CONT_T, min_size=_CONT_MIN)

@@ -47,6 +47,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hoard_spark.cache import track_cache
+
 
 def _dround(col: Column, n: int = 4) -> Column:
     """Boundary-stable ROUND (see queries/__init__.dround): similarity
@@ -70,6 +72,63 @@ def _prefix_bound(threshold: float, n: Column) -> Column:
     return n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
 
 
+RANK_COLS = ("_df", "_r", "_n")
+
+
+def rank_shingle_rows(
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+    set_col: str = "s",
+    block: list[str] | None = None,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Attach the prefix-filter rank columns to distinct (doc, shingle)
+    rows: ``_df`` (document frequency of the shingle — per ``block`` if
+    given), ``_r`` (the shingle's 1-based rank inside its doc's set under
+    the shared rarest-first total order ``(_df, s)``), ``_n`` (the doc's
+    set size). ``keep`` passes extra columns through untouched.
+
+    These columns are INTRINSIC to (the doc's own rows, the global
+    order): adding or removing OTHER docs never changes a doc's ``_r`` /
+    ``_n``, and any single ``_df`` value per distinct shingle keeps the
+    order total and shared. That makes the ranked table materializable
+    per corpus (the shingle artifact stores it), and lets an augmented
+    corpus re-rank only its NEW docs while base docs reuse stored ranks
+    — ``jaccard_similarity_join`` / ``containment_join`` skip this whole
+    stage when the rank columns are already present.
+
+    The df side is a groupBy + join rather than a ``count() over
+    (partition by s)`` window: a window puts every row of one shingle in
+    ONE task, so a Zipf-head shingle at 100 TB becomes a straggler,
+    while the join formulation gets AQE skew splitting for free.
+
+    If ``shingles`` already carries ``_df`` (e.g. rows filtered out of a
+    previously ranked table, whose ``_r/_n`` are stale but whose order
+    key is not), only the per-doc ranking window runs — the caller
+    guarantees the carried ``_df`` is single-valued per shingle.
+    """
+    block = list(block or [])
+    keep = list(keep or [])
+    if "_df" in shingles.columns:
+        ordered = shingles.select(doc_col, *block, *keep, set_col, "_df")
+    else:
+        sh = shingles.select(doc_col, *block, *keep, set_col)
+        df_rank = sh.groupBy(*block, set_col).agg(
+            F.count("*").alias("_df")
+        )
+        ordered = sh.join(df_rank, [*block, set_col])
+    w_doc = Window.partitionBy(doc_col).orderBy("_df", set_col)
+    return ordered.select(
+        doc_col,
+        *block,
+        *keep,
+        set_col,
+        "_df",
+        F.row_number().over(w_doc).alias("_r"),
+        F.count("*").over(Window.partitionBy(doc_col)).alias("_n"),
+    )
+
+
 def jaccard_similarity_join(
     shingles: DataFrame,
     threshold: float,
@@ -77,6 +136,7 @@ def jaccard_similarity_join(
     set_col: str = "s",
     block: list[str] | None = None,
     keep_raw: bool = False,
+    prune_verify: bool = False,
 ) -> DataFrame:
     """All pairs of docs with exact Jaccard(shingle sets) >= threshold.
 
@@ -84,6 +144,14 @@ def jaccard_similarity_join(
     ``shingle_rows_of`` output. ``block``: optional equality columns
     (e.g. lang/source) that qualifying pairs must share — they join the
     candidate key, so df ranks are computed per block too.
+
+    If ``shingles`` already carries the ``rank_shingle_rows`` columns
+    (``_df/_r/_n`` — e.g. the materialized shingle artifact), the df
+    aggregate + join + ranking window are SKIPPED: the prefix filter's
+    exactness needs only a shared total order, which any single ``_df``
+    per shingle provides (with ``block``, per-block df would be a
+    slightly tighter heuristic, but the stored global order is equally
+    exact — blocks still gate the candidate join keys).
 
     Output: ``a_id, b_id (a<b), inter, na, nb, jaccard`` — exact, every
     pair ≥ threshold, no false negatives (prefix-filter guarantee). The
@@ -97,18 +165,15 @@ def jaccard_similarity_join(
     block = list(block or [])
     sh = shingles.select(doc_col, *block, set_col)
 
-    # Global (per-block) frequency order, rarest first; ties broken by
-    # the shingle value so the order is total and identical for all docs.
-    df_rank = sh.groupBy(*block, set_col).agg(F.count("*").alias("_df"))
-    ordered = sh.join(df_rank, [*block, set_col])
-    w_doc = Window.partitionBy(doc_col).orderBy("_df", set_col)
-    ranked = ordered.select(
-        doc_col,
-        *block,
-        set_col,
-        F.row_number().over(w_doc).alias("_r"),
-        F.count("*").over(Window.partitionBy(doc_col)).alias("_n"),
-    )
+    # Frequency order, rarest first; ties broken by the shingle value so
+    # the order is total and identical for all docs. Precomputed rank
+    # columns (the shingle artifact) skip the build entirely.
+    if all(c in shingles.columns for c in RANK_COLS):
+        ranked = shingles.select(doc_col, *block, set_col, "_r", "_n")
+    else:
+        ranked = rank_shingle_rows(
+            shingles, doc_col=doc_col, set_col=set_col, block=block
+        ).drop("_df")
     # prefix(|s|) = |s| - ceil(t*|s|) + 1 (epsilon-slacked, _prefix_bound)
     prefix = ranked.where(F.col("_r") <= _prefix_bound(threshold, F.col("_n")))
 
@@ -167,19 +232,7 @@ def jaccard_similarity_join(
     )
 
     # Exact verify: doc-sized shingle arrays, JVM array_intersect.
-    sets = sh.groupBy(doc_col).agg(
-        F.collect_set(set_col).alias("_set"), F.count("*").alias("_n")
-    )
-    sa = sets.select(
-        F.col(doc_col).alias("a_id"),
-        F.col("_set").alias("_sa"),
-        F.col("_n").alias("na"),
-    )
-    sb = sets.select(
-        F.col(doc_col).alias("b_id"),
-        F.col("_set").alias("_sb"),
-        F.col("_n").alias("nb"),
-    )
+    cand, sa, sb = _candidate_sets(sh, cand, doc_col, set_col, prune_verify)
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter.cast("double") / (
         (F.col("na") + F.col("nb")).cast("double") - inter.cast("double")
@@ -200,6 +253,52 @@ def jaccard_similarity_join(
         .where(jac >= threshold)  # unrounded — matches the SQL twin
         .select(*cols)
     )
+
+
+def _candidate_sets(
+    sh, cand, doc_col: str, set_col: str, prune: bool = False
+):
+    """Per-doc shingle arrays for the exact verify.
+
+    ``prune=False`` (default): one corpus-wide collect_set — a single
+    LINEAR shuffle partitioned by doc (never quadratic, never skewed
+    beyond a doc's own size). Measured at sf0.1 this beats pruning ~2×:
+    the corpus pass is one cheap shuffle, while pruning must materialize
+    the candidate subtree synchronously (the id broadcast is a barrier)
+    and re-scan the shingle rows.
+
+    ``prune=True``: build arrays ONLY for docs that appear in a
+    candidate pair — the candidate ids are persisted and semi-join the
+    shingle rows before the collect_set. For candidate-SPARSE corpora at
+    petabyte scale this replaces the full-corpus array shuffle (the
+    dominant write) with candidate-proportional work at the price of one
+    extra corpus scan; below that regime the default wins (measured,
+    tools/bench_shingle_family.py experiments, round 9)."""
+    if prune:
+        cand = track_cache(cand)  # id broadcast + pair join both read it
+        ids = (
+            cand.select(F.col("a_id").alias(doc_col))
+            .unionByName(cand.select(F.col("b_id").alias(doc_col)))
+            .distinct()
+        )
+        sh = sh.join(ids, doc_col, "left_semi")
+    sets = sh.groupBy(doc_col).agg(
+        F.collect_set(set_col).alias("_set"), F.count("*").alias("_n")
+    )
+    # cand is returned because prune=True replaces it with the PERSISTED
+    # frame — the caller's final pair join must read the same instance
+    # the id broadcast materialized, or the posting join runs twice
+    sa = sets.select(
+        F.col(doc_col).alias("a_id"),
+        F.col("_set").alias("_sa"),
+        F.col("_n").alias("na"),
+    )
+    sb = sets.select(
+        F.col(doc_col).alias("b_id"),
+        F.col("_set").alias("_sb"),
+        F.col("_n").alias("nb"),
+    )
+    return cand, sa, sb
 
 
 def prefix_length(set_size: int, threshold: float) -> int:
@@ -252,9 +351,15 @@ def topk_similar_pairs(
         F.desc("_jaccard_raw"), F.asc("a_id"), F.asc("b_id")
     )
     for t in sorted(set(ladder), reverse=True):
-        pairs = jaccard_similarity_join(
-            shingles, t, doc_col=doc_col, set_col=set_col, block=block,
-            keep_raw=True,
+        # persist the rung's verified pairs: the count probe and the
+        # final ranking are two actions over the same (tiny, >= t) pair
+        # table, and without the cache the rung's whole posting-join
+        # pipeline would run twice (measured ~25% of q90 at sf0.1)
+        pairs = track_cache(
+            jaccard_similarity_join(
+                shingles, t, doc_col=doc_col, set_col=set_col,
+                block=block, keep_raw=True,
+            )
         )
         # candidate-sized; one count job per rung decides descent
         if pairs.limit(k + 1).count() >= k:
@@ -266,6 +371,7 @@ def topk_similar_pairs(
                 .drop("_rk", "_jaccard_raw")
                 .orderBy(F.desc("jaccard"), "a_id", "b_id")
             )
+        pairs.unpersist()  # failed rung — free it before descending
     raise ValueError(
         f"fewer than k={k} pairs at the ladder floor "
         f"{min(ladder)}: the corpus's top-k similarity is below every "
@@ -280,6 +386,7 @@ def containment_join(
     doc_col: str = "doc_id",
     set_col: str = "s",
     min_size: int = 1,
+    prune_verify: bool = False,
 ) -> DataFrame:
     """All DIRECTED pairs (a, b) with containment |A∩B| / |A| >= t.
 
@@ -318,15 +425,14 @@ def containment_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = shingles.select(doc_col, set_col)
 
-    df_rank = sh.groupBy(set_col).agg(F.count("*").alias("_df"))
-    ordered = sh.join(df_rank, set_col)
-    w_doc = Window.partitionBy(doc_col).orderBy("_df", set_col)
-    ranked = ordered.select(
-        doc_col,
-        set_col,
-        F.row_number().over(w_doc).alias("_r"),
-        F.count("*").over(Window.partitionBy(doc_col)).alias("_n"),
-    )
+    # precomputed rank columns (the shingle artifact) skip the df
+    # aggregate + join + ranking window, as in jaccard_similarity_join
+    if all(c in shingles.columns for c in RANK_COLS):
+        ranked = shingles.select(doc_col, set_col, "_r", "_n")
+    else:
+        ranked = rank_shingle_rows(
+            shingles, doc_col=doc_col, set_col=set_col
+        ).drop("_df")
     a = ranked.where(
         (F.col("_r") <= _prefix_bound(threshold, F.col("_n")))
         & (F.col("_n") >= min_size)
@@ -357,18 +463,8 @@ def containment_join(
         .distinct()
     )
 
-    sets = sh.groupBy(doc_col).agg(
-        F.collect_set(set_col).alias("_set"), F.count("*").alias("_n")
-    )
-    sa = sets.select(
-        F.col(doc_col).alias("a_id"),
-        F.col("_set").alias("_sa"),
-        F.col("_n").alias("na"),
-    )
-    sb = sets.select(
-        F.col(doc_col).alias("b_id"),
-        F.col("_set").alias("_sb"),
-        F.col("_n").alias("nb"),
+    cand, sa, sb = _candidate_sets(
+        sh, cand, doc_col, set_col, prune_verify
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     cont = inter.cast("double") / F.col("na").cast("double")

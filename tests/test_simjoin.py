@@ -262,3 +262,88 @@ def test_containment_join_is_directional(spark):
         for r in containment_join(sh, 0.9).collect()
     }
     assert got == {(1, 0): 1.0}
+
+
+def test_precomputed_ranks_match_built_ranks(spark):
+    """Passing a pre-ranked table (the shingle artifact path) must give
+    byte-identical results to the build-the-ranks-inline path for both
+    joins — including when a filtered subset carries a stale-but-
+    single-valued _df and only re-ranks itself (the q98 shape), and
+    when new docs with their own df enter the order (the q90 shape)."""
+    from hoard_spark.simjoin import (
+        containment_join,
+        jaccard_similarity_join,
+        rank_shingle_rows,
+    )
+
+    docs = _corpus(11)
+    sets = _shingle_sets(docs)
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+    ranked = rank_shingle_rows(sh)
+    for t in (0.4, 0.8):
+        plain = {
+            (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+            for r in jaccard_similarity_join(sh, t).collect()
+        }
+        pre = {
+            (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+            for r in jaccard_similarity_join(ranked, t).collect()
+        }
+        assert pre == plain, t
+        plainc = {
+            (r["a_id"], r["b_id"]): r["containment"]
+            for r in containment_join(sh, t, min_size=4).collect()
+        }
+        prec = {
+            (r["a_id"], r["b_id"]): r["containment"]
+            for r in containment_join(ranked, t, min_size=4).collect()
+        }
+        assert prec == plainc, t
+
+    # q98 shape: clone = filtered subset of a ranked base, re-ranked with
+    # carried _df; exactness vs the all-inline build on the same union
+    half = ranked.where(F.col("_r") % 2 == 1).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "s", "_df"
+    )
+    aug = ranked.select("doc_id", "s", "_df", "_r", "_n").unionByName(
+        rank_shingle_rows(half)
+    )
+    aug_plain = aug.select("doc_id", "s")
+    got = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_join(aug, 0.6, min_size=4).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_join(aug_plain, 0.6, min_size=4).collect()
+    }
+    assert got == want
+
+
+def test_rank_shingle_rows_intrinsic_to_doc(spark):
+    """_r/_n are intrinsic to (the doc's rows, the order key): ranking a
+    doc's rows alone — with its _df carried — reproduces the ranks the
+    doc got inside the full corpus ranking, which is what lets augmented
+    corpora re-rank only their new docs."""
+    from hoard_spark.simjoin import rank_shingle_rows
+
+    docs = _corpus(23)
+    sets = _shingle_sets(docs)
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in sets.items() for s in ss],
+        "doc_id long, s string",
+    )
+    ranked = rank_shingle_rows(sh)
+    one = ranked.where(F.col("doc_id") == 2).select("doc_id", "s", "_df")
+    rer = rank_shingle_rows(one)
+    got = {
+        (r["s"]): (r["_r"], r["_n"]) for r in rer.collect()
+    }
+    want = {
+        (r["s"]): (r["_r"], r["_n"])
+        for r in ranked.where(F.col("doc_id") == 2).collect()
+    }
+    assert got == want

@@ -111,6 +111,9 @@ def main():
             rows = [tuple(r) for r in df.collect()]
             rec["rows"] = len(rows)
             rec["cols"] = cols
+            from hoard_spark.queries import release_caches
+
+            release_caches()
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"spark: {type(e).__name__}: {e}"[:500]
             results[name] = rec
