@@ -62,8 +62,14 @@ NOTES = {
     ),
     "q39_ann_ivf": (
         "cold timing includes building + persisting the corpus-keyed "
-        "IVF-PQ index artifact (train + assign + encode) that q91 then "
-        "reuses as a plain parquet scan"
+        "IVF-PQ index artifact (train + assign + encode) that q91/q99 "
+        "then reuse as a plain parquet scan"
+    ),
+    "q99_ann_recall": (
+        "genuine-NEAR-neighbor oracle: probes are eps-perturbed copies "
+        "(cos ~0.989-0.992 to their source, strictly < 1.0) searched "
+        "against the SAME materialized index as q39/q91 — zero extra "
+        "index build; its DuckDB twin is the brute-force exact kNN"
     ),
     "q24_ntile": (
         "distributed two-pass exact NTILE (range partition + offset "

@@ -509,3 +509,20 @@ def test_artifact_filter_derivations_match_reshingling(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_q99_recall_probes_are_genuinely_near_not_identical(spark):
+    """The q99 contract (VERDICT r8 item 3): every perturbed probe's
+    top-1 is its SOURCE vector (recall 1.0 on provable near-neighbors)
+    and every returned cosine is strictly below 1.0 — the index is
+    finding near-duplicates, not byte-identical shortcuts. Also pins
+    the geometry the construction depends on: the perturbed cosine
+    stays far above the corpus's max genuine pairwise cosine."""
+    from hoard_spark.queries.llm import _RECALL_QOFF
+
+    rows = REG["q99_ann_recall"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows, "no probes at this SF"
+    assert all(r["n_id"] == r["q_id"] - _RECALL_QOFF for r in rows)
+    assert all(0.97 < r["cos"] < 1.0 for r in rows), [
+        r["cos"] for r in rows
+    ]
