@@ -526,3 +526,28 @@ def test_q99_recall_probes_are_genuinely_near_not_identical(spark):
     assert all(0.97 < r["cos"] < 1.0 for r in rows), [
         r["cos"] for r in rows
     ]
+
+
+def test_scale_oracles_equal_brute_force_oracles():
+    """The candidate-join scale twins (used by bench.py and the sf0.1
+    value check, VERDICT r8 item 10) must return exactly the brute-force
+    twins' rows — DuckDB-only, no Spark session needed."""
+    import duckdb
+
+    from hoard_spark.queries import REGISTRY, TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    scaled = {
+        n: q for n, q in REGISTRY.items() if q.oracle_scale is not None
+    }
+    assert len(scaled) >= 5, "expected the heavy dedup family"
+    for n, q in scaled.items():
+        brute = sorted(map(str, con.execute(q.oracle).fetchall()))
+        scale = sorted(map(str, con.execute(q.oracle_scale).fetchall()))
+        assert brute == scale, n
+        assert brute, f"{n}: empty answer proves nothing"

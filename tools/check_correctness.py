@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -83,9 +84,23 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    scale = os.environ.get("HOARD_SCALE_ORACLE") == "1"
+    if scale:
+        # Value-check against the scale-path twins (candidate-join SQL,
+        # VERDICT r8 item 10) — the form that finishes at sf0.1 where
+        # the quadratic brute-force twin needs >120 s. Separate artifact
+        # so the brute-force-verified gate evidence is never overwritten.
+        from hoard_spark.queries import REGISTRY
+
+        oracles = dict(oracles)
+        for n, q in REGISTRY.items():
+            if q.oracle_scale is not None:
+                oracles[n] = q.oracle_scale
     results = {}
     failures = []
-    out = REPO / "tools" / "correctness_local.json"
+    out = REPO / "tools" / (
+        "correctness_scale.json" if scale else "correctness_local.json"
+    )
     if ONLY and out.exists():
         # partial runs refresh only the named queries — keep the rest of
         # the artifact instead of clobbering the full-gate evidence, but
