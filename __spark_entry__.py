@@ -41,9 +41,8 @@ FLAGSHIP = "q01_bucket_lww"
 # accumulates a driver-green row across rounds. Round-9 rotation (VERDICT
 # r8 item 1): the 48 queries whose newest driver row is r7 (q02–q07,
 # q12–q20, q36, q42–q53, q59–q68, q71–q78, q80, q90) go first, then the
-# brand-new q99 (no driver row at all yet), then one backfill slot from
-# the r8-green set in name order — keeping every query's newest driver
-# evidence ≤1 round old.
+# brand-new q99/q100 (no driver row at all yet) — 50 exactly, keeping
+# every query's newest driver evidence ≤1 round old.
 _PRIORITY = [
     "q02_rollup_xff", "q03_cascaded_rollup", "q04_range_fetch",
     "q05_retention_filter", "q06_filter", "q07_projection_math",
@@ -62,10 +61,9 @@ _PRIORITY = [
     "q75_scalar_subquery", "q76_value_windows", "q77_funnel",
     "q78_cohort_retention", "q80_sorted_collect",
     "q90_topk_simjoin_ladder",
-    # q99 is NEW this round (no driver row yet) — it outranks backfill
-    "q99_ann_recall",
-    # backfill to 50 from the r8-green set, name order
-    "q01_bucket_lww",
+    # q99/q100 are NEW this round (no driver row yet) — they outrank
+    # backfill and exactly fill the 50 slots with the 48 r7-stale queries
+    "q99_ann_recall", "q100_ann_recall_paths",
 ]
 
 

@@ -71,6 +71,11 @@ NOTES = {
         "against the SAME materialized index as q39/q91 — zero extra "
         "index build; its DuckDB twin is the brute-force exact kNN"
     ),
+    "q100_ann_recall_paths": (
+        "the q99 perturbed probes through the OTHER two ANN engines "
+        "(IVF-PQ ADC + exact rerank; LSH 4x4-bit band join) — same "
+        "shared index/corpus, one oracle row per (probe, path)"
+    ),
     "q24_ntile": (
         "distributed two-pass exact NTILE (range partition + offset "
         "arithmetic); pays one extra small job locally to avoid the "

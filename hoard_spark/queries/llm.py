@@ -1121,6 +1121,118 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
 
 
 @query(
+    "q100_ann_recall_paths",
+    "genuine-NEAR-neighbor recall for the OTHER two ANN paths (IVF-PQ "
+    "ADC and LSH banding): the q99 eps-perturbed probes must return "
+    "their source as exact top-1 through each, tagged by path",
+    # Same brute-force ground truth as q99, duplicated per path tag —
+    # the compressed-code path and the band-join path are entirely
+    # different engines over the same corpus, so each gets its own
+    # oracle row. LSH uses 4 bands of 4 bits here: at the probes'
+    # ~8.6 degree perturbation the per-bit flip rate is ~4.7%, and the
+    # 4x4 banding collides every probe with its source on every tested
+    # corpus (verified at sf0.001/0.01/0.1 — deterministic: fixed
+    # hyperplane seed, fixed corpus), where the clone-tuned 2x8 default
+    # misses 6/40 at sf0.1.
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    aug AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + {_ANN_OFFSET} AS vec_id, v FROM e
+        WHERE vec_id % {_ANN_STEP} = 0
+    ),
+    n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM aug),
+    p0 AS (
+        SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+        WHERE vec_id % {_ANN_STEP} = {_RECALL_RES}
+    ),
+    p AS (
+        SELECT vec_id + {_RECALL_QOFF} AS q_id,
+               list_concat([v[1] + {_RECALL_EPS} * nrm], v[2:]) AS qv
+        FROM p0
+    ),
+    pn AS (
+        SELECT q_id, qv, SQRT(list_dot_product(qv, qv)) AS qnrm FROM p
+    ),
+    scored AS (
+        SELECT q_id, n.vec_id AS n_id,
+               list_dot_product(qv, n.v) / (qnrm * n.nrm) AS c
+        FROM pn, n
+    ),
+    ranked AS (
+        SELECT q_id, n_id, c,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY ROUND(c, 3) DESC, n_id) AS rn
+        FROM scored
+    )
+    SELECT paths.path, q_id, n_id,
+           CAST(ROUND(CAST(c AS DECIMAL(25,10)), 3) AS DOUBLE) AS cos
+    FROM ranked CROSS JOIN (VALUES ('ivfpq'), ('lsh')) AS paths(path)
+    WHERE rn = 1 ORDER BY path, q_id
+    """,
+    "training-data pipeline: closes the exact-clone-only oracle caveat "
+    "on ALL three ANN paths (q99 covers IVF; this covers IVF-PQ + LSH)",
+)
+def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
+    """q99's provable near-neighbor construction pushed through the two
+    remaining ANN engines. The IVF-PQ path must surface each perturbed
+    probe's source from 4-bit ADC codes + exact rerank (the probe's
+    cell ordering tracks its source's, and rerank=32 pins the cosine);
+    the LSH path must collide probe and source in at least one 4-bit
+    hyperplane band (no index at all — signatures are literal-matrix
+    projections, candidates meet in the band equi-join). Both reuse
+    q39/q91's materialized index / corpus untouched, and both recompute
+    the output cosine through the decimal-stable rounding discipline
+    over the k=1 rows (see q99)."""
+    from hoard_spark.ann import normalized, search_ivf_pq, search_lsh
+
+    table, cents, books = _planted_index(spark, sf_dir)
+    n = _emb_norm(spark, sf_dir)
+    q_v = F.concat(
+        F.array(F.get("v", 0) + F.lit(_RECALL_EPS) * F.col("nrm")),
+        F.expr("slice(v, 2, size(v) - 1)"),
+    )
+    probes = (
+        n.where(F.col("vec_id") % _ANN_STEP == _RECALL_RES)
+        .select(
+            (F.col("vec_id") + F.lit(_RECALL_QOFF)).alias("q_id"),
+            q_v.alias("q_v"),
+        )
+        .withColumn("q_nrm", F.sqrt(F.expr(_DOT.format(a="q_v", b="q_v"))))
+    )
+    pq = search_ivf_pq(
+        table, table, cents, books, probes, k=1, nprobe=nprobe, rerank=32
+    ).select(F.lit("ivfpq").alias("path"), "q_id", "n_id")
+    lsh = search_lsh(
+        normalized(_planted_corpus(spark, sf_dir)),
+        probes,
+        k=1,
+        h=16,
+        bands=4,
+        dim=_EMB_DIM,
+    ).select(F.lit("lsh").alias("path"), "q_id", "n_id")
+    hits = pq.unionByName(lsh)
+    return (
+        hits.join(probes, "q_id")
+        .join(
+            table.select(F.col("vec_id").alias("n_id"), "v", "nrm"), "n_id"
+        )
+        .select(
+            "path",
+            "q_id",
+            "n_id",
+            dround(
+                F.expr(_DOT.format(a="q_v", b="v"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                3,
+            ).alias("cos"),
+        )
+        .orderBy("path", "q_id")
+    )
+
+
+@query(
     "q93_ann_lsh",
     "LSH-bucketed ANN (random-hyperplane signatures + band-bucket join) "
     "over the planted-duplicate corpus: each cloned probe must return "

@@ -551,3 +551,20 @@ def test_scale_oracles_equal_brute_force_oracles():
         scale = sorted(map(str, con.execute(q.oracle_scale).fetchall()))
         assert brute == scale, n
         assert brute, f"{n}: empty answer proves nothing"
+
+
+def test_q100_both_paths_find_perturbed_source(spark):
+    """q100 contract: BOTH the IVF-PQ path and the LSH path return each
+    perturbed probe's source as top-1 (one row per (probe, path)), all
+    cosines strictly below 1.0."""
+    from hoard_spark.queries.llm import _RECALL_QOFF
+
+    rows = REG["q100_ann_recall_paths"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["path"], []).append(r)
+        assert r["n_id"] == r["q_id"] - _RECALL_QOFF
+        assert 0.97 < r["cos"] < 1.0
+    assert set(by_path) == {"ivfpq", "lsh"}
+    assert len(by_path["ivfpq"]) == len(by_path["lsh"])
