@@ -142,3 +142,66 @@ def test_streaming_file_source_incremental(spark, index, tmp_path):
         for r in index.pairs().collect()
     }
     assert got == {(3, 1): (1.0, 1)}
+
+
+# --- property pin: random corpora, random batch splits -----------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small vocab forces organic overlap; docs long enough to clear min_size
+_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=7,
+        max_size=20,
+    ),
+    min_size=4,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=_docs_strategy,
+    splits=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+    t=st.sampled_from([0.6, 0.9]),
+)
+def test_property_stream_union_equals_batch(spark, tmp_path, docs, splits, t):
+    """For ANY corpus and ANY assignment of docs to three micro-batches,
+    the union of emitted pairs equals the batch containment_join over
+    the full corpus — each qualifying directed pair exactly once."""
+    import uuid
+
+    from hoard_spark.simjoin import containment_join
+
+    index = ContainmentIndex(
+        spark,
+        str(tmp_path / f"cont-{uuid.uuid4().hex[:8]}"),
+        threshold=t,
+        min_size=5,
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    full = _to_df(spark, rows)
+    for b in range(3):
+        chosen = [r for r in rows if splits[r[0] % 10] == b]
+        if chosen:
+            index.process_batch(_to_df(spark, chosen), b)
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+        for r in index.pairs().collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+        for r in containment_join(
+            ranked_gram_rows(full).select("doc_id", "g"),
+            t,
+            set_col="g",
+            min_size=5,
+        ).collect()
+    }
+    assert got == want
