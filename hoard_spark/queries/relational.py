@@ -882,8 +882,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, us FROM e WHERE event_type = 'click'
     )
     SELECT c.event_id, c.user_id, v.v_value AS asof_value,
-           CAST(ROUND(CAST((c.us - v.us) / 1000000.0 AS DECIMAL(25,10)), 4)
-                AS DOUBLE) AS gap_s
+           ((c.us - v.us + 50) // 100) / 10000.0 AS gap_s
     FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.us >= v.us
     ORDER BY event_id
     """,
@@ -895,6 +894,18 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     A same-microsecond view matches its click (ASOF's ``>=`` bound);
     views are pre-deduped to one per (user, us) by highest event_id so
     ties are engine-independent. Scale notes live on ``asof_backward``.
+
+    ``gap_s`` rounds half-up at 4dp through INTEGER arithmetic
+    (``(gap_us + 50) div 100`` hundred-microsecond units, then one
+    double division by 1e4): the gap is an exact integer and at
+    microsecond magnitudes (~1e11) a double holds it only to ~6e-11, so
+    the usual dround discipline — cast the double to DECIMAL(25,10) and
+    round — diverges between engines exactly at true 4dp midpoints
+    (found by the sf0.1 full-suite value check: one row at
+    577549.43335 s rounded .4334 on Spark's shortest-repr cast and
+    .4333 on DuckDB's exact-binary cast). Integer half-up has no double
+    intermediate, and the final k/1e4 division produces bit-identical
+    doubles in both engines.
     """
     from hoard_spark.asof import ASOF_ORDER, asof_backward
 
@@ -916,13 +927,12 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = asof_backward(
         clicks, views, keys=["user_id"], order="us", carry=["v_value"]
     )
+    gap4 = F.expr(f"(us - {ASOF_ORDER} + 50) div 100")
     return j.select(
         "event_id",
         "user_id",
         F.col("v_value").alias("asof_value"),
-        dround(
-            (F.col("us") - F.col(ASOF_ORDER)) / F.lit(1_000_000.0)
-        ).alias("gap_s"),
+        (gap4 / F.lit(10_000.0)).alias("gap_s"),
     ).orderBy("event_id")
 
 
