@@ -71,11 +71,13 @@ NOTES = {
         "index build; its DuckDB twin is the brute-force exact kNN"
     ),
     "q100_ann_recall_paths": (
-        "the q99 perturbed probes through the OTHER two ANN engines "
-        "(IVF-PQ ADC + exact rerank; LSH 4x4-bit band join) — one "
-        "oracle row per (probe, path). Sorts before q39, so ITS cold "
-        "timing absorbs the shared index build (train+assign+encode) "
-        "that q39/q91/q99 then read as a parquet scan"
+        "the q99 perturbed probes through the OTHER three ANN engines "
+        "(IVF-PQ ADC + exact rerank; LSH 4x4-bit band join; label-"
+        "filtered IVF whose corpus removes the unfiltered top-1 for "
+        "~90% of probes) — one oracle row per (probe, path). Sorts "
+        "before q39, so ITS cold timing absorbs the shared index "
+        "build that q39/q91/q99 then read as a parquet scan, plus "
+        "the filtered path's own corpus train+assign"
     ),
     "q24_ntile": (
         "distributed two-pass exact NTILE (range partition + offset "

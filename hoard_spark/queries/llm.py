@@ -944,6 +944,14 @@ def q39(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
 _RECALL_EPS = 0.15
 _RECALL_RES = 7
 _RECALL_QOFF = 3_000_000
+# q100's filtered path: alt-clones of the probe sources planted at this
+# offset with label 999, so the label-filtered corpus provably contains
+# a cos<1.0 nearest neighbor for every probe while the UNFILTERED top-1
+# (the source) is filtered away for ~90% of probes — a post-filter
+# implementation fails the corpus outright (the q92 discipline, now on
+# genuinely near probes).
+_RECALL_ALT_OFF = 4_000_000
+_ANN_FILTER_LABEL = 999
 
 
 @query(
@@ -1122,9 +1130,10 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
 
 @query(
     "q100_ann_recall_paths",
-    "genuine-NEAR-neighbor recall for the OTHER two ANN paths (IVF-PQ "
-    "ADC and LSH banding): the q99 eps-perturbed probes must return "
-    "their source as exact top-1 through each, tagged by path",
+    "genuine-NEAR-neighbor recall for the OTHER three ANN paths "
+    "(IVF-PQ ADC, LSH banding, label-filtered IVF): the q99 "
+    "eps-perturbed probes must return their provable top-1 through "
+    "each, tagged by path",
     # Same brute-force ground truth as q99, duplicated per path tag —
     # the compressed-code path and the band-join path are entirely
     # different engines over the same corpus, so each gets its own
@@ -1165,27 +1174,72 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY q_id
                                   ORDER BY ROUND(c, 3) DESC, n_id) AS rn
         FROM scored
+    ),
+    c2 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_RECALL_ALT_OFF} AS vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               {_ANN_FILTER_LABEL} AS label
+        FROM embeddings WHERE vec_id % {_ANN_STEP} = {_RECALL_RES}
+    ),
+    n2 AS (
+        SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm
+        FROM c2 WHERE label IN (0, {_ANN_FILTER_LABEL})
+    ),
+    scored2 AS (
+        SELECT q_id, n2.vec_id AS n_id,
+               list_dot_product(qv, n2.v) / (qnrm * n2.nrm) AS c
+        FROM pn, n2
+    ),
+    ranked2 AS (
+        SELECT q_id, n_id, c,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY ROUND(c, 3) DESC, n_id) AS rn
+        FROM scored2
     )
-    SELECT paths.path, q_id, n_id,
-           CAST(ROUND(CAST(c AS DECIMAL(25,10)), 3) AS DOUBLE) AS cos
-    FROM ranked CROSS JOIN (VALUES ('ivfpq'), ('lsh')) AS paths(path)
-    WHERE rn = 1 ORDER BY path, q_id
+    SELECT * FROM (
+        SELECT paths.path, q_id, n_id,
+               CAST(ROUND(CAST(c AS DECIMAL(25,10)), 3) AS DOUBLE) AS cos
+        FROM ranked CROSS JOIN (VALUES ('ivfpq'), ('lsh')) AS paths(path)
+        WHERE rn = 1
+        UNION ALL
+        SELECT 'ivf_filtered' AS path, q_id, n_id,
+               CAST(ROUND(CAST(c AS DECIMAL(25,10)), 3) AS DOUBLE) AS cos
+        FROM ranked2 WHERE rn = 1
+    ) ORDER BY path, q_id
     """,
     "training-data pipeline: closes the exact-clone-only oracle caveat "
-    "on ALL three ANN paths (q99 covers IVF; this covers IVF-PQ + LSH)",
+    "on ALL ANN paths (q99 covers IVF; this covers IVF-PQ + LSH + "
+    "filtered IVF, the filtered corpus removing the unfiltered top-1 "
+    "for ~90% of probes so only a pre-filter plan survives)",
 )
 def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
-    """q99's provable near-neighbor construction pushed through the two
+    """q99's provable near-neighbor construction pushed through the
     remaining ANN engines. The IVF-PQ path must surface each perturbed
     probe's source from 4-bit ADC codes + exact rerank (the probe's
     cell ordering tracks its source's, and rerank=32 pins the cosine);
     the LSH path must collide probe and source in at least one 4-bit
     hyperplane band (no index at all — signatures are literal-matrix
-    projections, candidates meet in the band equi-join). Both reuse
-    q39/q91's materialized index / corpus untouched, and both recompute
-    the output cosine through the decimal-stable rounding discipline
-    over the k=1 rows (see q99)."""
-    from hoard_spark.ann import normalized, search_ivf_pq, search_lsh
+    projections, candidates meet in the band equi-join); the FILTERED
+    path searches a corpus where every probe source has a label-999
+    alt-clone and the predicate admits labels {0, 999} — the provable
+    top-1 is the source when its own label is 0, else the alt-clone
+    (bitwise cos tie, lowest-id break), and since ~90% of sources fail
+    the predicate, the unfiltered top-1 is usually REMOVED: only a
+    pre-filter plan (predicate pushed into the corpus scan before the
+    candidate meeting) passes the oracle. PQ/LSH reuse q39/q91's
+    materialized index / corpus untouched; all paths recompute the
+    output cosine through the decimal-stable rounding discipline over
+    the k=1 rows (see q99)."""
+    from hoard_spark.ann import (
+        assign_cells,
+        normalized,
+        search_ivf,
+        search_ivf_pq,
+        search_lsh,
+    )
 
     table, cents, books = _planted_index(spark, sf_dir)
     n = _emb_norm(spark, sf_dir)
@@ -1212,12 +1266,39 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
         bands=4,
         dim=_EMB_DIM,
     ).select(F.lit("lsh").alias("path"), "q_id", "n_id")
-    hits = pq.unionByName(lsh)
+
+    emb = load(spark, sf_dir, "embeddings")
+    alt = emb.where(F.col("vec_id") % _ANN_STEP == _RECALL_RES).select(
+        (F.col("vec_id") + F.lit(_RECALL_ALT_OFF)).alias("vec_id"),
+        "embedding",
+        F.lit(_ANN_FILTER_LABEL).alias("label"),
+    )
+    # unpersisted on purpose so the label predicate reaches the scan
+    # (the q92 discipline)
+    n2 = normalized(
+        emb.select("vec_id", "embedding", "label").unionByName(alt),
+        keep=["label"],
+        persist=False,
+    )
+    cents2 = _kmeans_centroids(n2)
+    filt = search_ivf(
+        assign_cells(n2, cents2),
+        cents2,
+        probes,
+        k=1,
+        nprobe=nprobe,
+        where=F.col("label").isin(0, _ANN_FILTER_LABEL),
+    ).select(F.lit("ivf_filtered").alias("path"), "q_id", "n_id")
+
+    hits = pq.unionByName(lsh).unionByName(filt)
+    lookup = table.select(F.col("vec_id").alias("n_id"), "v", "nrm").unionByName(
+        n2.where(F.col("vec_id") >= _RECALL_ALT_OFF).select(
+            F.col("vec_id").alias("n_id"), "v", "nrm"
+        )
+    )
     return (
         hits.join(probes, "q_id")
-        .join(
-            table.select(F.col("vec_id").alias("n_id"), "v", "nrm"), "n_id"
-        )
+        .join(lookup, "n_id")
         .select(
             "path",
             "q_id",
@@ -1306,7 +1387,8 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 # implementation fails this corpus outright: the unfiltered top-1 is the
 # source, which the predicate removes for ~90% of probes.
 _ANN_ALT_OFFSET = 2_000_000
-_ANN_FILTER_LABEL = 999
+# (_ANN_FILTER_LABEL itself is declared next to the _RECALL_* block —
+# q100's filtered path, earlier in the file, is its first use.)
 
 
 @query(

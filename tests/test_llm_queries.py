@@ -553,18 +553,28 @@ def test_scale_oracles_equal_brute_force_oracles():
         assert brute, f"{n}: empty answer proves nothing"
 
 
-def test_q100_both_paths_find_perturbed_source(spark):
-    """q100 contract: BOTH the IVF-PQ path and the LSH path return each
-    perturbed probe's source as top-1 (one row per (probe, path)), all
-    cosines strictly below 1.0."""
-    from hoard_spark.queries.llm import _RECALL_QOFF
+def test_q100_all_paths_find_perturbed_near_neighbor(spark):
+    """q100 contract: the IVF-PQ, LSH, and label-filtered IVF paths each
+    return every perturbed probe's provable top-1 (one row per
+    (probe, path)), all cosines strictly below 1.0. On the filtered
+    path the answer is the source only when its own label passes the
+    predicate, else the planted label-999 alt-clone — and the corpus
+    must make the filter bite (some sources filtered away), or the
+    pre-filter semantics goes untested."""
+    from hoard_spark.queries.llm import _RECALL_ALT_OFF, _RECALL_QOFF
 
     rows = REG["q100_ann_recall_paths"].spark_fn(spark, SF_SMOKE).collect()
     assert rows
     by_path = {}
     for r in rows:
         by_path.setdefault(r["path"], []).append(r)
-        assert r["n_id"] == r["q_id"] - _RECALL_QOFF
+        assert r["n_id"] % _RECALL_ALT_OFF == r["q_id"] - _RECALL_QOFF
         assert 0.97 < r["cos"] < 1.0
-    assert set(by_path) == {"ivfpq", "lsh"}
-    assert len(by_path["ivfpq"]) == len(by_path["lsh"])
+    assert set(by_path) == {"ivfpq", "lsh", "ivf_filtered"}
+    assert len({len(v) for v in by_path.values()}) == 1
+    for r in by_path["ivfpq"] + by_path["lsh"]:
+        assert r["n_id"] == r["q_id"] - _RECALL_QOFF  # source itself
+    filtered_to_alt = [
+        r for r in by_path["ivf_filtered"] if r["n_id"] >= _RECALL_ALT_OFF
+    ]
+    assert filtered_to_alt, "filter never bit — pre-filter untested"
