@@ -41,6 +41,15 @@ SKIP = set()
 
 # Declared conformance twins whose timing should be read with context —
 # surfaced verbatim in the JSON so the judgment lives in the artifact.
+_SCALE_TWIN_NOTE = (
+    "DuckDB wall times the ORACLE_SCALE twin (candidate-join form), not "
+    "the brute-force oracle — equality of the two twins is machine-"
+    "checked at sf0.001 (tests/test_llm_queries.py::"
+    "test_oracle_scale_twins_equal_brute) and sf0.01 "
+    "(tools/correctness_scale.json); the sf0.1 wall itself rests on that "
+    "plus the shares-one-gram construction argument (ADVICE r9 noted)"
+)
+
 NOTES = {
     "q56_percentiles": (
         "exact percentile() conformance twin (full per-group sort); "
@@ -61,8 +70,10 @@ NOTES = {
         "reads its ranked posting table straight off the scan"
     ),
     "q39_ann_ivf": (
-        "reads the corpus-keyed IVF-PQ index artifact shared with "
-        "q91/q99/q100 (q100 sorts first and pays the cold build)"
+        "reads the corpus-keyed UNIFIED index artifact shared with "
+        "q91/q92/q99/q100 (q100 sorts first and pays the cold build; "
+        "the labeled corpus serves both the planted and the filtered "
+        "searches from one train+assign+encode pass)"
     ),
     "q99_ann_recall": (
         "genuine-NEAR-neighbor oracle: probes are eps-perturbed copies "
@@ -75,15 +86,20 @@ NOTES = {
         "(IVF-PQ ADC + exact rerank; LSH 4x4-bit band join; label-"
         "filtered IVF whose corpus removes the unfiltered top-1 for "
         "~90% of probes) — one oracle row per (probe, path). Sorts "
-        "before q39, so ITS cold timing absorbs the shared index "
-        "build that q39/q91/q99 then read as a parquet scan, plus "
-        "the filtered path's own corpus train+assign"
+        "before q39, so ITS cold timing absorbs the ONE unified index "
+        "build (labeled corpus incl. the filter alt-clones) that "
+        "q39/q91/q92/q99 then read as a parquet scan"
     ),
     "q24_ntile": (
         "distributed two-pass exact NTILE (range partition + offset "
         "arithmetic); pays one extra small job locally to avoid the "
         "single-partition global window that cannot scale"
     ),
+    "q35_minhash_neardup+scale_twin": _SCALE_TWIN_NOTE,
+    "q51_dedup_clusters+scale_twin": _SCALE_TWIN_NOTE,
+    "q67_canonical_pick+scale_twin": _SCALE_TWIN_NOTE,
+    "q90_topk_simjoin_ladder+scale_twin": _SCALE_TWIN_NOTE,
+    "q98_containment_dedup+scale_twin": _SCALE_TWIN_NOTE,
     "q36_simhash_neardup": (
         "ratio vs DuckDB is an artifact since round 7: the oracle "
         "PREDICTS the planted-clone pairs with a trivial filter while "

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
 
+# (corpus fingerprint, name, k, m, ks) -> (cents, books): avoids one
+# model-collect Spark job per consumer query — see materialized_index.
+_MODEL_MEMO: "dict[tuple, tuple]" = {}
+
 
 def normalized(
     emb: DataFrame,
@@ -636,7 +640,7 @@ def materialized_index(
     """
     from pyspark.sql import types as T
 
-    from hoard_spark.artifacts import get_or_build
+    from hoard_spark.artifacts import corpus_fingerprint, get_or_build
 
     model_schema = T.StructType(
         [
@@ -648,13 +652,20 @@ def materialized_index(
     )
 
     # Cold-build state shared between the two builders: ONE normalized
-    # (persisted) corpus and ONE training-sample collect. Built lazily so
-    # a warm artifact store pays neither the corpus scan nor the collect.
+    # corpus plan and ONE training-sample collect. Built lazily so a warm
+    # artifact store pays neither the corpus scan nor the collect.
+    # Unpersisted: the sample collect is a pushed-down range scan and the
+    # assign+encode pass streams straight to parquet — two cheap narrow
+    # passes beat one cache fill + cached pass (measured 1.9s vs 4.5s at
+    # sf0.1), and nothing downstream re-reads the plan (consumers read
+    # the artifact).
     shared: dict = {}
 
     def corpus_n() -> DataFrame:
         if "n" not in shared:
-            shared["n"] = normalized(corpus_builder(), keep=keep)
+            shared["n"] = normalized(
+                corpus_builder(), keep=keep, persist=False
+            )
         return shared["n"]
 
     def build_model() -> DataFrame:
@@ -667,22 +678,36 @@ def materialized_index(
             for j, bj in enumerate(books)
             for c, cw in enumerate(bj)
         ]
-        return spark.createDataFrame(rows, schema=model_schema)
+        # k + m*ks rows total — one file, not one per shuffle partition
+        # (32 tiny parquet files cost ~1s of task overhead per write/read;
+        # repartition, NOT coalesce: coalesce(1) over a LocalTableScan
+        # defeats its fast path and measures ~4.5s vs 0.5s)
+        return spark.createDataFrame(rows, schema=model_schema).repartition(1)
 
-    model = get_or_build(
-        spark, sf_dir, f"{name}_model", tables, build_model
-    ).collect()
-    cents = sorted(
-        (r["i"], list(r["vec"])) for r in model if r["kind"] == "cent"
-    )
-    book_rows = {
-        (r["i"], r["j"]): list(r["vec"])
-        for r in model
-        if r["kind"] == "book"
-    }
-    books = [
-        [book_rows[(j, c)] for c in range(ks)] for j in range(m)
-    ]
+    # Driver-side memo keyed on the corpus fingerprint: five conformance
+    # queries share one index, and without the memo each re-collects the
+    # identical ~150-row model table (one Spark job per query). The
+    # fingerprint key keeps the memo exactly as fresh as the artifact.
+    memo_key = (corpus_fingerprint(sf_dir, tables, spark), name, k, m, ks)
+    cached = _MODEL_MEMO.get(memo_key)
+    if cached is not None:
+        cents, books = cached
+    else:
+        model = get_or_build(
+            spark, sf_dir, f"{name}_model", tables, build_model
+        ).collect()
+        cents = sorted(
+            (r["i"], list(r["vec"])) for r in model if r["kind"] == "cent"
+        )
+        book_rows = {
+            (r["i"], r["j"]): list(r["vec"])
+            for r in model
+            if r["kind"] == "book"
+        }
+        books = [
+            [book_rows[(j, c)] for c in range(ks)] for j in range(m)
+        ]
+        _MODEL_MEMO[memo_key] = (cents, books)
 
     def build_table() -> DataFrame:
         return encode_pq(assign_cells(corpus_n(), cents), books)

@@ -30,6 +30,17 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def untrack_cache(df: DataFrame) -> None:
+    """Unpersist ``df`` and drop it from the registry — for a cache whose
+    lifetime ended mid-build (e.g. a failed ladder rung), so the registry
+    doesn't accumulate dead references until ``release_caches``."""
+    df.unpersist()
+    try:
+        _LIVE_CACHES.remove(df)
+    except ValueError:
+        pass
+
+
 def release_caches() -> None:
     """Unpersist every DataFrame a builder cached in this session."""
     while _LIVE_CACHES:

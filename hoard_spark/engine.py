@@ -532,10 +532,13 @@ class HoardEngine:
         batch: DataFrame | None = None,
         pending: DataFrame | None = None,
         touched_by_tier: dict[int, set[tuple[str, str]]] | None = None,
+        force_range: bool = False,
     ) -> None:
         """See ``_propagate_many_impl``; serialized by the writer lock."""
         with self._writer_lock():
-            self._propagate_many_impl(metrics, batch, pending, touched_by_tier)
+            self._propagate_many_impl(
+                metrics, batch, pending, touched_by_tier, force_range
+            )
 
     def _propagate_many_impl(
         self,
@@ -543,6 +546,7 @@ class HoardEngine:
         batch: DataFrame | None = None,
         pending: DataFrame | None = None,
         touched_by_tier: dict[int, set[tuple[str, str]]] | None = None,
+        force_range: bool = False,
     ) -> None:
         """Materialize the rollup cascade for metrics SHARING one policy.
 
@@ -558,6 +562,13 @@ class HoardEngine:
         reads only pre-existing history from disk and takes the
         micro-batch from memory. Duplicates (rows both on disk and in
         pending) collapse in LWW, so passing it is always safe.
+
+        ``force_range``: the caller already knows the batch blows the
+        touched-pair cap (streaming ingest collects the touched sets in
+        its own fused job and sees the overflow first) — skip straight to
+        the per-tier min/max span path instead of re-running the capped
+        distinct-collect on exactly the huge batch the cap protects
+        against (ADVICE r9).
 
         Scale contract: the whole call runs O(tiers) Spark jobs regardless
         of metric count — per tier, one distinct over the micro-batch, one
@@ -579,35 +590,42 @@ class HoardEngine:
         range_by_tier: dict[int, tuple[int, int]] | None = None
         if touched_by_tier is None and batch is not None:
             batch = batch.select("metric", "tier", "bucket_ts")
-            # (metric, date) pairs affected per cascade tier: rows routed
-            # to finer tiers cascade down; rows routed directly to a tier
-            # land as-is; coarser rows don't touch it. ONE fused distinct
-            # job computes the touched sets for ALL cascade steps (round
-            # 8 — was one distinct job per tier): the per-tier frames are
-            # unioned with a tier tag, so the whole scoping pass costs a
-            # single batch-sized shuffle regardless of cascade depth.
-            frames = []
-            for tier_k, _, lower_spp in cascade:
-                frames.append(
-                    batch.where(F.col("tier") <= tier_k).select(
-                        F.lit(tier_k).alias("tk"),
-                        "metric",
-                        bucket_date_col(
-                            F.col("bucket_ts")
-                            - F.pmod(F.col("bucket_ts"), F.lit(lower_spp))
-                        ).alias("d"),
+            over_cap = force_range
+            rows: list = []
+            if not over_cap:
+                # (metric, date) pairs affected per cascade tier: rows
+                # routed to finer tiers cascade down; rows routed directly
+                # to a tier land as-is; coarser rows don't touch it. ONE
+                # fused distinct job computes the touched sets for ALL
+                # cascade steps (round 8 — was one distinct job per tier):
+                # the per-tier frames are unioned with a tier tag, so the
+                # whole scoping pass costs a single batch-sized shuffle
+                # regardless of cascade depth.
+                frames = []
+                for tier_k, _, lower_spp in cascade:
+                    frames.append(
+                        batch.where(F.col("tier") <= tier_k).select(
+                            F.lit(tier_k).alias("tk"),
+                            "metric",
+                            bucket_date_col(
+                                F.col("bucket_ts")
+                                - F.pmod(
+                                    F.col("bucket_ts"), F.lit(lower_spp)
+                                )
+                            ).alias("d"),
+                        )
                     )
+                un = frames[0]
+                for f in frames[1:]:
+                    un = un.unionByName(f)
+                cap = self.propagate_touched_cap
+                rows = (
+                    un.distinct().limit(cap + 1).collect()
+                    if cap > 0
+                    else un.distinct().collect()
                 )
-            un = frames[0]
-            for f in frames[1:]:
-                un = un.unionByName(f)
-            cap = self.propagate_touched_cap
-            rows = (
-                un.distinct().limit(cap + 1).collect()
-                if cap > 0
-                else un.distinct().collect()
-            )
-            if cap > 0 and len(rows) > cap:
+                over_cap = cap > 0 and len(rows) > cap
+            if over_cap:
                 # Backfill-scale batch: the touched list would flood the
                 # driver. Fall back to per-tier min/max bucket spans (one
                 # #tiers-row agg job) and recompute each cascade tier over

@@ -843,6 +843,14 @@ _ANN_OFFSET = 1_000_000
 _ANN_STEP = 50
 
 
+# Sentinel label for the +_ANN_OFFSET clone rows inside the unified
+# index artifact: fails every filtered-search predicate (real labels are
+# non-negative; the planted filter label is _ANN_FILTER_LABEL), so the
+# label-filtered corpus never sees the clones while the planted searches
+# select their corpus by the vec_id range instead.
+_CLONE_LABEL = -1
+
+
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q39/q91 conformance corpus: embeddings plus a verbatim clone
     of every ``_ANN_STEP``'th vector at ``vec_id + _ANN_OFFSET``."""
@@ -853,19 +861,53 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").unionByName(clones)
 
 
+def _unified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE labeled corpus covering every planted-ANN construction:
+    embeddings (real labels) + the q39/q91/q99 exact clones at
+    ``+_ANN_OFFSET`` (sentinel label, excluded from every filtered
+    search) + the q92/q100 filter alt-clones at ``+_RECALL_ALT_OFF``
+    (label ``_ANN_FILTER_LABEL``). Consumers carve their declared corpus
+    out of the one materialized index artifact with pushdown-friendly
+    predicates: ``vec_id < _RECALL_ALT_OFF`` is exactly emb+clones (the
+    q39 oracle corpus), ``label IN (0, 999)`` is exactly the filtered
+    corpus (clones fail the sentinel) — so ONE train+assign+encode
+    build serves five queries instead of two builds plus an inline
+    re-train per invocation (VERDICT r9 watch item)."""
+    emb = load(spark, sf_dir, "embeddings")
+    clones = emb.where(F.col("vec_id") % _ANN_STEP == 0).select(
+        (F.col("vec_id") + F.lit(_ANN_OFFSET)).alias("vec_id"),
+        "embedding",
+        F.lit(_CLONE_LABEL).alias("label"),
+    )
+    alt = emb.where(F.col("vec_id") % _ANN_STEP == _RECALL_RES).select(
+        (F.col("vec_id") + F.lit(_RECALL_ALT_OFF)).alias("vec_id"),
+        "embedding",
+        F.lit(_ANN_FILTER_LABEL).alias("label"),
+    )
+    return (
+        emb.select("vec_id", "embedding", "label")
+        .unionByName(clones)
+        .unionByName(alt)
+    )
+
+
 def _planted_index(spark: SparkSession, sf_dir: str):
-    """Materialized IVF-PQ index over the planted corpus — built once
-    per corpus fingerprint (``ann.materialized_index``), shared by q39
-    (IVF search) and q91 (ADC search): the first consumer pays the
-    train+assign+encode pass, the other reads a parquet scan. The same
-    persisted-artifact shape as the q51/q67 cluster table."""
+    """Materialized IVF-PQ index over the unified labeled corpus — built
+    once per corpus fingerprint (``ann.materialized_index``), shared by
+    q39 (IVF), q91 (ADC), q99/q100 (near-neighbor recall) AND the
+    label-filtered searches q92/q100 (the stored ``label`` column lets
+    the pre-filter predicate land as PushedFilters on the artifact's
+    parquet scan): the first consumer pays the train+assign+encode
+    pass, the rest read a parquet scan. The same persisted-artifact
+    shape as the q51/q67 cluster table."""
     from hoard_spark.ann import materialized_index
 
     return materialized_index(
         spark,
         sf_dir,
-        lambda: _planted_corpus(spark, sf_dir),
-        name="ann_planted_k8_m8x16",
+        lambda: _unified_corpus(spark, sf_dir),
+        name="ann_unified_k8_m8x16",
+        keep=["label"],
     )
 
 
@@ -918,13 +960,16 @@ def q39(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     from hoard_spark.ann import search_ivf
 
     table, cents, _books = _planted_index(spark, sf_dir)
-    probes = table.where(F.col("vec_id") >= _ANN_OFFSET).select(
+    # carve the declared q39 corpus (emb + clones) out of the unified
+    # artifact: the range predicate prunes the alt-clone rows at the scan
+    corpus = table.where(F.col("vec_id") < _RECALL_ALT_OFF)
+    probes = corpus.where(F.col("vec_id") >= _ANN_OFFSET).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
     )
     return (
-        search_ivf(table, cents, probes, k=1, nprobe=nprobe)
+        search_ivf(corpus, cents, probes, k=1, nprobe=nprobe)
         .select("q_id", "n_id", "cos")
         .orderBy("q_id")
     )
@@ -1008,15 +1053,17 @@ def q91(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     from hoard_spark.ann import search_ivf_pq
 
     table, cents, books = _planted_index(spark, sf_dir)
-    probes = table.where(F.col("vec_id") >= _ANN_OFFSET).select(
+    # declared q91 corpus = emb + clones: range-prune the alt rows
+    corpus = table.where(F.col("vec_id") < _RECALL_ALT_OFF)
+    probes = corpus.where(F.col("vec_id") >= _ANN_OFFSET).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
     )
     return (
         search_ivf_pq(
-            table,
-            table,
+            corpus,
+            corpus,
             cents,
             books,
             probes,
@@ -1107,9 +1154,13 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
         )
         .withColumn("q_nrm", F.sqrt(F.expr(_DOT.format(a="q_v", b="q_v"))))
     )
-    hits = search_ivf(table, cents, probes, k=1, nprobe=nprobe).select(
-        "q_id", "n_id"
-    )
+    hits = search_ivf(
+        table.where(F.col("vec_id") < _RECALL_ALT_OFF),
+        cents,
+        probes,
+        k=1,
+        nprobe=nprobe,
+    ).select("q_id", "n_id")
     return (
         hits.join(probes, "q_id")
         .join(
@@ -1233,13 +1284,7 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     materialized index / corpus untouched; all paths recompute the
     output cosine through the decimal-stable rounding discipline over
     the k=1 rows (see q99)."""
-    from hoard_spark.ann import (
-        assign_cells,
-        normalized,
-        search_ivf,
-        search_ivf_pq,
-        search_lsh,
-    )
+    from hoard_spark.ann import search_ivf, search_ivf_pq, search_lsh
 
     table, cents, books = _planted_index(spark, sf_dir)
     n = _emb_norm(spark, sf_dir)
@@ -1247,7 +1292,10 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
         F.array(F.get("v", 0) + F.lit(_RECALL_EPS) * F.col("nrm")),
         F.expr("slice(v, 2, size(v) - 1)"),
     )
-    probes = (
+    # The tiny probe frame feeds all three search paths plus the final
+    # cosine join — persist it so the perturbation expressions evaluate
+    # once instead of being inlined into four plan branches.
+    probes = track_cache(
         n.where(F.col("vec_id") % _ANN_STEP == _RECALL_RES)
         .select(
             (F.col("vec_id") + F.lit(_RECALL_QOFF)).alias("q_id"),
@@ -1255,11 +1303,19 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
         )
         .withColumn("q_nrm", F.sqrt(F.expr(_DOT.format(a="q_v", b="q_v"))))
     )
+    # The pq/lsh corpora are the DECLARED emb+clones corpus: the range
+    # predicate carves it out of the unified artifact at the scan.
+    corpus = table.where(F.col("vec_id") < _RECALL_ALT_OFF)
     pq = search_ivf_pq(
-        table, table, cents, books, probes, k=1, nprobe=nprobe, rerank=32
+        corpus, corpus, cents, books, probes, k=1, nprobe=nprobe, rerank=32
     ).select(F.lit("ivfpq").alias("path"), "q_id", "n_id")
+    # The LSH corpus is exactly that table's (vec_id, v, nrm) columns —
+    # read them off the materialized artifact instead of re-normalizing
+    # the union per invocation (the signature + band explode stay
+    # per-run map-side projections: LSH itself needs no index, only the
+    # corpus).
     lsh = search_lsh(
-        normalized(_planted_corpus(spark, sf_dir)),
+        corpus.select("vec_id", "v", "nrm"),
         probes,
         k=1,
         h=16,
@@ -1267,23 +1323,15 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
         dim=_EMB_DIM,
     ).select(F.lit("lsh").alias("path"), "q_id", "n_id")
 
-    emb = load(spark, sf_dir, "embeddings")
-    alt = emb.where(F.col("vec_id") % _ANN_STEP == _RECALL_RES).select(
-        (F.col("vec_id") + F.lit(_RECALL_ALT_OFF)).alias("vec_id"),
-        "embedding",
-        F.lit(_ANN_FILTER_LABEL).alias("label"),
-    )
-    # unpersisted on purpose so the label predicate reaches the scan
-    # (the q92 discipline)
-    n2 = normalized(
-        emb.select("vec_id", "embedding", "label").unionByName(alt),
-        keep=["label"],
-        persist=False,
-    )
-    cents2 = _kmeans_centroids(n2)
+    # Filtered path (VERDICT r9 watch item): the label predicate carves
+    # the filtered corpus out of the SAME unified artifact — clones fail
+    # the sentinel label, so `label IN (0, 999)` is exactly emb(label 0)
+    # + alt-clones, and the predicate reaches the artifact's parquet
+    # scan as PushedFilters (the pre-filter discipline) with zero
+    # per-invocation train/assign cost.
     filt = search_ivf(
-        assign_cells(n2, cents2),
-        cents2,
+        table,
+        cents,
         probes,
         k=1,
         nprobe=nprobe,
@@ -1291,11 +1339,9 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     ).select(F.lit("ivf_filtered").alias("path"), "q_id", "n_id")
 
     hits = pq.unionByName(lsh).unionByName(filt)
-    lookup = table.select(F.col("vec_id").alias("n_id"), "v", "nrm").unionByName(
-        n2.where(F.col("vec_id") >= _RECALL_ALT_OFF).select(
-            F.col("vec_id").alias("n_id"), "v", "nrm"
-        )
-    )
+    # the unified table already holds every possible n_id (base, clone,
+    # alt) exactly once
+    lookup = table.select(F.col("vec_id").alias("n_id"), "v", "nrm")
     return (
         hits.join(probes, "q_id")
         .join(lookup, "n_id")
@@ -1377,16 +1423,19 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Filtered-ANN planting (q92): alongside the +_ANN_OFFSET probe clones,
-# a SECOND clone of every source lands at +_ANN_ALT_OFFSET with the
-# planted label 999. The search predicate admits labels {0, 999} only, so
-# for every probe the filtered corpus deterministically contains its
-# cos = 1.0 alt-clone, plus the original source iff the source's label
-# happens to be 0 — and the rank-1 tiebreak (lowest n_id) picks the
-# source exactly when it survives the filter. A post-filter
-# implementation fails this corpus outright: the unfiltered top-1 is the
-# source, which the predicate removes for ~90% of probes.
-_ANN_ALT_OFFSET = 2_000_000
+# Filtered-ANN planting (q92): a clone of every residue-_RECALL_RES
+# source lands at +_RECALL_ALT_OFF with the planted label 999 — the SAME
+# filtered corpus q100's recall path searches, so both queries read ONE
+# unified materialized index artifact (_planted_index); q92's
+# probes are exact clones of those sources at +_ANN_OFFSET (ids disjoint
+# from the q39 planted set, residue 7 vs 0 — probes are never stored).
+# The search predicate admits labels {0, 999} only, so for every probe
+# the filtered corpus deterministically contains its cos = 1.0
+# alt-clone, plus the original source iff the source's label happens to
+# be 0 — and the rank-1 tiebreak (lowest n_id) picks the source exactly
+# when it survives the filter. A post-filter implementation fails this
+# corpus outright: the unfiltered top-1 is the source, which the
+# predicate removes for ~90% of probes.
 # (_ANN_FILTER_LABEL itself is declared next to the _RECALL_* block —
 # q100's filtered path, earlier in the file, is its first use.)
 
@@ -1406,9 +1455,9 @@ _ANN_ALT_OFFSET = 2_000_000
     corpus AS (
         SELECT vec_id, v, label FROM e
         UNION ALL
-        SELECT vec_id + {_ANN_ALT_OFFSET} AS vec_id, v,
+        SELECT vec_id + {_RECALL_ALT_OFF} AS vec_id, v,
                {_ANN_FILTER_LABEL} AS label
-        FROM e WHERE vec_id % {_ANN_STEP} = 0
+        FROM e WHERE vec_id % {_ANN_STEP} = {_RECALL_RES}
     ),
     n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm, label
           FROM corpus),
@@ -1416,7 +1465,7 @@ _ANN_ALT_OFFSET = 2_000_000
     probes AS (
         SELECT vec_id + {_ANN_OFFSET} AS q_id, v,
                SQRT(list_dot_product(v, v)) AS nrm
-        FROM e WHERE vec_id % {_ANN_STEP} = 0
+        FROM e WHERE vec_id % {_ANN_STEP} = {_RECALL_RES}
     ),
     scored AS (
         SELECT p.q_id, f.vec_id AS n_id,
@@ -1445,37 +1494,29 @@ def q92(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     the alt-clone — precisely what the brute-force oracle computes.
 
     The predicate enters ``search_ivf(where=...)`` and lands on the
-    assigned table before the candidate meeting — Catalyst pushes it
-    through the map-side cell projection into the parquet scan
-    (pinned in tests/test_plan_audit.py), so at 100 TB the filtered
-    search reads only the label-selected row groups."""
-    from hoard_spark.ann import assign_cells, normalized, search_ivf
+    assigned table's PARQUET SCAN (pinned in tests/test_plan_audit.py):
+    the train+assign pass is materialized per corpus fingerprint
+    (the unified index artifact, ``_planted_index`` — SHARED with
+    q39/q91/q99/q100) with the label column STORED in the artifact, so
+    at 100 TB the filtered search reads only the label-selected row
+    groups of a table built once per corpus version."""
+    from hoard_spark.ann import search_ivf
 
-    emb = load(spark, sf_dir, "embeddings")
-    sources = emb.where(F.col("vec_id") % _ANN_STEP == 0)
-    alt = sources.select(
-        (F.col("vec_id") + F.lit(_ANN_ALT_OFFSET)).alias("vec_id"),
-        "embedding",
-        F.lit(_ANN_FILTER_LABEL).alias("label"),
-    )
-    corpus = emb.select("vec_id", "embedding", "label").unionByName(alt)
-    # unpersisted on purpose: an InMemoryRelation would block parquet
-    # pushdown of the label predicate (see ann.normalized docstring)
-    n = normalized(corpus, keep=["label"], persist=False)
-    cents = _kmeans_centroids(n)
-    probes = normalized(
-        sources.select(
-            (F.col("vec_id") + F.lit(_ANN_OFFSET)).alias("vec_id"),
-            "embedding",
-        )
+    table, cents, _books = _planted_index(spark, sf_dir)
+    # probes = exact clones of the residue-7 sources: read the sources'
+    # (v, nrm) straight off the artifact's base rows and shift the id
+    # (probe ids are disjoint from every planted row; never stored)
+    probes = table.where(
+        (F.col("vec_id") % _ANN_STEP == _RECALL_RES)
+        & (F.col("vec_id") < _ANN_OFFSET)
     ).select(
-        F.col("vec_id").alias("q_id"),
+        (F.col("vec_id") + F.lit(_ANN_OFFSET)).alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
     )
     return (
         search_ivf(
-            assign_cells(n, cents),
+            table,
             cents,
             probes,
             k=1,

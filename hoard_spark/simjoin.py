@@ -47,7 +47,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hoard_spark.cache import track_cache
+from hoard_spark.cache import track_cache, untrack_cache
 
 
 def _dround(col: Column, n: int = 4) -> Column:
@@ -159,6 +159,12 @@ def jaccard_similarity_join(
     ``keep_raw`` appends the unrounded ``_jaccard_raw`` for callers that
     rank on it (``topk_similar_pairs`` — rounding before ranking would
     reintroduce 5e-5-wide ties at rung boundaries).
+
+    ``prune_verify=True`` PERSISTS the candidate-pair frame (the id
+    broadcast and the final pair join must read one materialized
+    instance) and registers it in the session cache registry: call
+    ``hoard_spark.cache.release_caches()`` after the terminal action, or
+    the cache lives until session end (ADVICE r9).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -371,7 +377,10 @@ def topk_similar_pairs(
                 .drop("_rk", "_jaccard_raw")
                 .orderBy(F.desc("jaccard"), "a_id", "b_id")
             )
-        pairs.unpersist()  # failed rung — free it before descending
+        # failed rung — free it AND drop it from the cache registry
+        # before descending (a library caller may never call
+        # release_caches; dead entries must not accumulate there)
+        untrack_cache(pairs)
     raise ValueError(
         f"fewer than k={k} pairs at the ladder floor "
         f"{min(ladder)}: the corpus's top-k similarity is below every "
@@ -420,6 +429,9 @@ def containment_join(
     row per DIRECTED qualifying pair (an exact clone yields both
     directions at 1.0; a strict truncation yields only A→B).
     ``min_size`` drops trivially-contained tiny docs (|A| < min_size).
+    ``prune_verify=True`` persists the candidate frame into the session
+    cache registry — call ``release_caches()`` after the terminal
+    action (see ``jaccard_similarity_join``).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

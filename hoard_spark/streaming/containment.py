@@ -28,7 +28,9 @@ and, per micro-batch:
 
 Each qualifying pair is emitted exactly once — in the batch where its
 later member arrives (containment between two fixed docs never changes,
-and batches only add docs), so the union of all emitted pairs equals
+and batches only add docs — ENFORCED: a doc_id re-ingested with a
+different gram set than the store holds is rejected with an error;
+byte-identical replays pass), so the union of all emitted pairs equals
 the batch ``containment_join`` over the full corpus (pinned in
 tests/test_streaming_containment.py). Replays are idempotent: a
 replayed batch excludes store rows its own earlier attempt admitted
@@ -176,6 +178,50 @@ class ContainmentIndex:
         posting rows."""
         rows = ranked_gram_rows(docs).persist()
         try:
+            # Guard the append-only store invariant (ADVICE r9): a doc_id
+            # already in the store may only be re-ingested byte-identically
+            # (a replay). A DIFFERENT gram set would append alongside the
+            # old rows and postings() would silently serve the union of
+            # both versions. Fingerprint the overlap (count + bit_xor +
+            # sum of the gram hashes — order-free, any single-gram change
+            # moves at least one component) and reject on mismatch; the
+            # check joins only the re-ingested ids, so a normal
+            # only-adds-docs batch aggregates an empty frame.
+            def _fp(df: DataFrame, tag: str) -> DataFrame:
+                # decimal sum: g spans the full long range, a plain long
+                # SUM overflows under ANSI mode
+                return df.groupBy("doc_id").agg(
+                    F.count("*").alias(f"_c{tag}"),
+                    F.expr("bit_xor(g)").alias(f"_x{tag}"),
+                    F.sum(F.col("g").cast("decimal(38,0)")).alias(
+                        f"_s{tag}"
+                    ),
+                )
+
+            prev = self.postings().join(
+                rows.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            conflicts = [
+                r["doc_id"]
+                for r in _fp(prev, "0")
+                .join(_fp(rows, "1"), "doc_id")
+                .where(
+                    (F.col("_c0") != F.col("_c1"))
+                    | (F.col("_x0") != F.col("_x1"))
+                    | (F.col("_s0") != F.col("_s1"))
+                )
+                .select("doc_id")
+                .limit(5)
+                .collect()
+            ]
+            if conflicts:
+                raise ValueError(
+                    "ContainmentIndex: doc_ids re-ingested with a "
+                    f"different gram set than the store holds: {conflicts}"
+                    " — the posting store is append-only; only "
+                    "byte-identical replays of an existing doc_id are "
+                    "allowed (re-key changed documents)"
+                )
             # replay discipline: drop store rows admitted by this batch's
             # own earlier attempt (posting rows carry the admitting doc)
             store = (

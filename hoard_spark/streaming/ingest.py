@@ -256,12 +256,17 @@ def _apply_microbatch(engine, prepared, by_sig, present, touched, now, propagate
                 # precomputed touched sets (no second distinct pass).
                 # touched=None => the batch blew the touched-pair cap
                 # (backfill): hand the rows to propagate_many as `batch`
-                # and let its capped path derive per-tier date-range
-                # predicates instead of a driver list.
+                # with the over-cap signal, so it skips straight to the
+                # per-tier date-range path instead of re-running the
+                # capped distinct-collect on a batch we already know
+                # overflows it (ADVICE r9).
                 sig_rows = prepared.where(F.col("_sig") == sid)
                 if touched is None:
                     engine.propagate_many(
-                        mets, batch=sig_rows, pending=sig_rows
+                        mets,
+                        batch=sig_rows,
+                        pending=sig_rows,
+                        force_range=True,
                     )
                 else:
                     engine.propagate_many(

@@ -578,3 +578,53 @@ def test_q100_all_paths_find_perturbed_near_neighbor(spark):
         r for r in by_path["ivf_filtered"] if r["n_id"] >= _RECALL_ALT_OFF
     ]
     assert filtered_to_alt, "filter never bit — pre-filter untested"
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_q90_suffix_tokens_absent_from_corpus(spark, sf_dir):
+    """Guard for q90's artifact-derived clone construction (ADVICE r9):
+    its boundary grams are disjoint from the corpus gram domain ONLY
+    because the _TOPK_SUFFIX tokens never appear in corpus text — a
+    collision would make the rarest-first order non-total and could
+    silently drop a qualifying pair through the prefix/positional
+    filters. This pins the invariant loudly on every local corpus (the
+    sf1 corpus is drawn from the same generator vocabulary,
+    tools/gen_sf1.py), so a future testdata change fails here instead
+    of corrupting q90."""
+    from hoard_spark.queries.llm import _TOPK_SUFFIX
+
+    toks = _TOPK_SUFFIX.split()
+    assert toks, "_TOPK_SUFFIX must carry boundary tokens"
+    pat = "(^| )(" + "|".join(toks) + ")( |$)"
+    hits = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").rlike(pat))
+        .count()
+    )
+    assert hits == 0, (
+        f"_TOPK_SUFFIX tokens occur in {sf_dir}/documents text: the q90 "
+        "boundary-gram disjointness invariant is broken"
+    )
+
+
+def test_q90_boundary_grams_disjoint_from_artifact(spark):
+    """The structural half of the q90 guard: the constructed boundary
+    grams must anti-join the shingle artifact's gram domain completely
+    (every boundary gram contains a suffix token by construction, so
+    this follows from the vocab check — but pin it directly against the
+    artifact the query actually reads)."""
+    from hoard_spark.queries.llm import _TOPK_SUFFIX, _shingle_rows
+
+    art = _shingle_rows(spark, SF_SMOKE).select("s").distinct()
+    toks = _TOPK_SUFFIX.split()
+    suffixed = art.where(
+        F.col("s").rlike("(^| )(" + "|".join(toks) + ")( |$)")
+    ).count()
+    assert suffixed == 0
