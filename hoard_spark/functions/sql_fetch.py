@@ -1,0 +1,191 @@
+"""SQL-callable range fetch — ``SELECT * FROM hoard_fetch(...)``.
+
+Closes the last declared-optional surface gap (SURVEY §4; VERDICT r9
+item 4): a SQL-only user can range-fetch a metric without touching the
+Python API. Reference analog: fetch, src/hoard.coffee:426-513.
+
+Shape: a Python UDTF (the declared table-function escape hatch,
+``hoard_spark/functions/udtf.py``) whose ``eval`` runs a **JVM-free
+fetch** — catalog JSON + the same ``plan_fetch`` tier routing the
+engine uses + pyarrow reads of the pruned ``(tier, metric|mb, date)``
+partition files + Python LWW + the gap-fill spine. This mirrors the
+engine's driver-side fast path (``HoardEngine._fetch_fast_values``):
+a fetch answers a dashboard-sized window (``ti`` buckets, bounded by
+the archive's ``points``), so the data volume is UDTF-appropriate by
+construction — the 100 TB story is the partition pruning (tier + metric
++ date dirs), exactly the same pruning the Spark plan gets, done with
+one directory listing per date.
+
+Value contract: identical to ``HoardEngine.fetch`` (property-pinned in
+tests/test_sql_fetch.py against goldens G2/G4 and randomized corpora)
+for tier-0 fetches and materialized rollups. An UNMATERIALIZED coarse
+tier needs the on-the-fly cascade only a Spark plan provides — the UDTF
+raises a clear error directing the user to ``propagate()`` (the engine
+API falls back to the Spark plan instead; a SQL-only caller should not
+silently trigger a cluster-sized recompute from a table function).
+
+Like the engine's control plane (catalog / seq / layout JSONs), paths
+resolve with driver-local semantics; executors in ``local[*]`` (and any
+cluster whose warehouse is on a shared mount) see the same files. An
+object-store warehouse would swap the ``os`` walks for ``pyarrow.fs``
+— declared, not needed for the local contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import zlib
+from datetime import datetime, timedelta, timezone
+
+from hoard_spark.catalog import Catalog, HoardError
+from hoard_spark.fetch import TimeInfo, plan_fetch
+from hoard_spark.fsutil import strip_local_uri
+
+_SAFE_PART_RE = re.compile(r"[A-Za-z0-9._-]+\Z")
+
+
+def _list_date_files(base: str, dates: list[str]) -> list[str]:
+    files: list[str] = []
+    for d in dates:
+        dirp = os.path.join(base, f"date={d}")
+        if not os.path.isdir(dirp):
+            continue
+        for e in os.scandir(dirp):
+            if e.is_file() and e.name.endswith(".parquet"):
+                files.append(e.path)
+    return files
+
+
+def python_fetch(
+    warehouse_dir: str,
+    metric: str,
+    from_ts: int,
+    to_ts: int,
+    now: int | None = None,
+) -> tuple[TimeInfo, list[float | None]]:
+    """JVM-free fetch over a hoard warehouse; see module docstring."""
+    now = int(now if now is not None else time.time())
+    ctl = strip_local_uri(warehouse_dir) or warehouse_dir
+    info = Catalog(ctl).info(metric)
+    archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
+    tier = archive.tier
+
+    layout_path = os.path.join(ctl, "_hoard_layout.json")
+    metric_buckets = None
+    if os.path.exists(layout_path):
+        with open(layout_path) as f:
+            metric_buckets = json.load(f).get("metric_buckets")
+
+    if tier > 0:
+        materialized = False
+        mat_path = os.path.join(ctl, "_hoard_materialized.json")
+        if os.path.exists(mat_path):
+            with open(mat_path) as f:
+                materialized = f"{tier}:{metric}" in set(json.load(f))
+        if not materialized and not metric_buckets:
+            # legacy unbucketed warehouses predate the marker file
+            materialized = os.path.isdir(
+                os.path.join(
+                    ctl, "rollups", f"tier={tier}", f"metric={metric}"
+                )
+            )
+        if not materialized:
+            raise HoardError(
+                f"hoard_fetch: tier {tier} of '{metric}' is not "
+                "materialized — run propagate() (or fetch through the "
+                "engine API, which computes the cascade as a Spark plan)"
+            )
+
+    if not _SAFE_PART_RE.match(metric) and not metric_buckets:
+        raise HoardError(
+            f"hoard_fetch: metric name {metric!r} needs Spark's partition "
+            "escaping — fetch it through the engine API"
+        )
+
+    root = os.path.join(ctl, "points" if tier == 0 else "rollups")
+    mid = (
+        f"mb={zlib.crc32(metric.encode('utf-8')) % metric_buckets}"
+        if metric_buckets
+        else f"metric={metric}"
+    )
+    lo_d = datetime.fromtimestamp(ti.from_interval, tz=timezone.utc).date()
+    hi_d = datetime.fromtimestamp(ti.to_interval, tz=timezone.utc).date()
+    dates = []
+    d = lo_d
+    while d <= hi_d:
+        dates.append(d.isoformat())
+        d += timedelta(days=1)
+    files = _list_date_files(os.path.join(root, f"tier={tier}", mid), dates)
+
+    import pyarrow.parquet as pq
+
+    # tier 0: LWW merge (max seq wins per bucket); tier>0: rollup rows
+    # are unique per bucket already
+    best: dict[int, tuple[int, float | None]] = {}
+    for fpath in files:
+        pf = pq.ParquetFile(fpath)
+        phys = {c.name for c in pf.schema_arrow}
+        want = [
+            c for c in ("metric", "bucket_ts", "value", "seq") if c in phys
+        ]
+        tbl = pf.read(columns=want)
+        bt = tbl["bucket_ts"].to_pylist()
+        vv = tbl["value"].to_pylist()
+        mm = tbl["metric"].to_pylist() if "metric" in phys else None
+        sq = tbl["seq"].to_pylist() if tier == 0 else None
+        for i, b in enumerate(bt):
+            if mm is not None and mm[i] != metric:
+                continue
+            if not (ti.from_interval <= b < ti.to_interval):
+                continue
+            s = sq[i] if sq is not None else 0
+            if b not in best or s > best[b][0]:
+                best[b] = (s, vv[i])
+    n = max(0, (ti.to_interval - ti.from_interval) // ti.step)
+    values: list[float | None] = [None] * n
+    for b, (_, v) in best.items():
+        values[(b - ti.from_interval) // ti.step] = v
+    return ti, values
+
+
+def make_hoard_fetch(warehouse_dir: str):
+    """Build the UDTF class bound to one warehouse (a plain string — the
+    closure ships to Python workers via cloudpickle)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bucket_ts long, value double")
+    class HoardFetch:
+        """``hoard_fetch(metric, from_ts, to_ts[, now])`` — one row per
+        bucket in [from_interval, to_interval), NULL value for gaps (the
+        gap-fill spine as rows; the reference API's values vector is
+        this table ordered by bucket_ts)."""
+
+        def eval(
+            self,
+            metric: str,
+            from_ts: int,
+            to_ts: int,
+            now: int | None = None,
+        ):
+            ti, values = python_fetch(
+                warehouse_dir, metric, from_ts, to_ts, now
+            )
+            t = ti.from_interval
+            for v in values:
+                yield t, (None if v is None else float(v))
+                t += ti.step
+
+    return HoardFetch
+
+
+def register_sql_fetch(spark, warehouse_dir: str, name: str = "hoard_fetch"):
+    """Register ``hoard_fetch`` on this session::
+
+        register_sql_fetch(spark, engine.warehouse_dir)
+        spark.sql("SELECT * FROM hoard_fetch('cpu', 1311277105, "
+                  "1311295105, 1311300000)")
+    """
+    spark.udtf.register(name, make_hoard_fetch(warehouse_dir))
