@@ -221,6 +221,48 @@ class Catalog:
         self._save()
         return info
 
+    def create_many(
+        self,
+        entries: list[tuple[str, list[tuple[int, int]], float]],
+        now: int | None = None,
+    ) -> list[MetricInfo]:
+        """Register a batch of metrics with ONE catalog write.
+
+        Same rationale as ``touch_many``: the catalog JSON is O(metrics)
+        bytes, so per-metric ``create()`` from a bulk registration (e.g.
+        a 10k-file Whisper-tree import) rewrites it per metric —
+        O(metrics²) driver bytes; the 10k-file migration bench measured
+        the loop pinning the driver for minutes before this existed.
+        All-or-nothing: every entry is validated before any is admitted,
+        so a bad entry cannot leave a half-written batch behind.
+        """
+        created_at = int(now if now is not None else time.time())
+        infos: list[MetricInfo] = []
+        seen: set[str] = set()
+        for metric, archives, xff in entries:
+            if metric in self._metrics or metric in seen:
+                raise HoardError(f"metric already exists: {metric}")
+            if not 0.0 <= xff <= 1.0:
+                raise HoardError("xFilesFactor must be in [0, 1]")
+            valid = validate_archives(archives)
+            seen.add(metric)
+            infos.append(
+                MetricInfo(
+                    metric=metric,
+                    archives=tuple(
+                        ArchiveInfo(i, spp, pts)
+                        for i, (spp, pts) in enumerate(valid)
+                    ),
+                    x_files_factor=float(xff),
+                    created_at=created_at,
+                )
+            )
+        for info in infos:
+            self._metrics[info.metric] = info
+        if infos:
+            self._save()
+        return infos
+
     def info(self, metric: str) -> MetricInfo:
         """Metadata lookup (reference info(), O2)."""
         if metric not in self._metrics:

@@ -255,6 +255,18 @@ class HoardEngine:
         with self._writer_lock():
             return self.catalog.create(metric, archives, x_files_factor, now)
 
+    def create_many(
+        self,
+        entries: list[tuple[str, list[tuple[int, int]], float]],
+        now: int | None = None,
+    ) -> list[MetricInfo]:
+        """Bulk create with ONE catalog write (see Catalog.create_many —
+        per-metric create() from a bulk registration is O(metrics²)
+        driver bytes; the Whisper-tree migration is the canonical
+        caller)."""
+        with self._writer_lock():
+            return self.catalog.create_many(entries, now)
+
     def info(self, metric: str) -> MetricInfo:
         """Reference info() (O2, src/hoard.coffee:392-424)."""
         return self.catalog.info(metric)

@@ -237,14 +237,22 @@ def import_tree(engine, path_glob: str, now: int | None = None) -> int:
     import time as _time
 
     policies = read_policies(engine.spark, path_glob).collect()
-    for r in policies:
-        if not engine.catalog.exists(r["metric"]):
-            engine.create(
+    # ONE catalog write for the whole tree: per-metric create() rewrites
+    # the O(metrics)-byte catalog JSON per metric — O(metrics²) driver
+    # bytes, measured pinning the driver for minutes at 10k files
+    # (tools/bench_whisper_migration.py) before create_many existed.
+    engine.create_many(
+        [
+            (
                 r["metric"],
                 [(a["seconds_per_point"], a["points"]) for a in r["archives"]],
-                x_files_factor=r["x_files_factor"],
-                now=int(now if now is not None else _time.time()),
+                r["x_files_factor"],
             )
+            for r in policies
+            if not engine.catalog.exists(r["metric"])
+        ],
+        now=int(now if now is not None else _time.time()),
+    )
 
     pts = read_points(engine.spark, path_glob).persist()
 
@@ -256,8 +264,16 @@ def import_tree(engine, path_glob: str, now: int | None = None) -> int:
         .withColumn("date", bucket_date_col(F.col("bucket_ts")))
         .select("bucket_ts", "value", "seq", "ts", "tier", "metric", "date"),
     )
+    # repartition on the partition columns before the dynamic-partition
+    # write: the unpack stage's N-hundred input tasks would otherwise
+    # EACH open a file in EVERY (tier, mb|metric, date) output dir —
+    # tasks x dirs tiny files (measured dominating a 10k-file tree's
+    # import wall); after the shuffle each output dir is written by one
+    # task, and sortWithinPartitions keeps the per-metric row-group
+    # clustering the readers' min/max pruning relies on.
     (
-        tier0.sortWithinPartitions("metric", "bucket_ts")
+        tier0.repartition(*engine._part_cols)
+        .sortWithinPartitions("metric", "bucket_ts")
         .write.partitionBy(*engine._part_cols)
         .mode("append")
         .parquet(engine.points_path)
@@ -271,7 +287,8 @@ def import_tree(engine, path_glob: str, now: int | None = None) -> int:
         .select("bucket_ts", "value", "known", "tier", "metric", "date"),
     )
     (
-        coarse.sortWithinPartitions("metric", "bucket_ts")
+        coarse.repartition(*engine._part_cols)
+        .sortWithinPartitions("metric", "bucket_ts")
         .write.partitionBy(*engine._part_cols)
         .mode("append")
         .parquet(engine.rollups_path)

@@ -1,0 +1,244 @@
+"""Streaming incremental ANN index maintenance (VERDICT r9 stretch 8).
+
+The batch family materializes an IVF-PQ index once per corpus version
+(``hoard_spark.ann.materialized_index``); a training-data ingest
+pipeline needs the online twin: *as embedding vectors stream in, keep
+the searchable index current without retraining or rebuilding.* This
+operator maintains a persistent assigned-corpus store and, per
+micro-batch:
+
+1. on the FIRST batch, trains the IVF centroids + PQ codebooks on the
+   batch's bounded deterministic sample (the same ``train_centroids`` /
+   ``train_pq_codebooks`` the batch index uses) and persists the model;
+2. assigns + PQ-encodes the batch's vectors against the FIXED model —
+   a pure map-side projection over literal centroid/codebook arrays,
+   exactly the batch index's build pass scoped to the batch — and
+   appends (vec_id, v, nrm, cell, pq) to the store;
+3. records the batch's mean assignment cosine (mean over rows of
+   cos(v, centroid(cell))) in a stats table: a DRIFT TRIGGER — when a
+   batch's mean assign-cos drops more than ``drift_tolerance`` below
+   the trailing mean of the PRIOR non-model batches (the model batch's
+   own fit is optimistically biased — its rows are the training
+   sample — so it anchors nothing), the corpus has moved away from the
+   trained centroids and ``drifted_batches()`` flags it for retrain
+   (the retrain itself is a batch-index rebuild, deliberately out of
+   band: an index that silently retrains mid-stream changes cell
+   geometry under its readers).
+
+Equivalence contract (pinned in tests/test_streaming_annindex.py):
+because assignment/encoding is deterministic given the model, the
+store after N batches is ROW-FOR-ROW equal to the batch build
+``encode_pq(assign_cells(normalized(corpus), cents), books)`` over the
+union corpus with the same model — so every ``hoard_spark.ann`` search
+(IVF, IVF-PQ ADC) runs against the store unchanged, and incremental
+maintenance is exactly the batch index amortized over arrivals.
+Replays are idempotent: ``table()`` dedupes by vec_id (a replayed
+append duplicates whole rows, never disagreeing ones — the model is
+fixed), the store discipline shared with the neardup/vector stores.
+
+Scale: per batch the work is one map-side assign+encode over the batch
+plus an append — no store rescan, no shuffle of the store; the stats
+row is one tiny aggregate. The store itself IS the searchable artifact
+(same columns the materialized index writes), so search cost is the
+pinned batch shape.
+
+No reference analog (src/hoard.coffee is a time-series store); this is
+the streaming member of the ANN family (SURVEY §2C Q38/Q39 tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MODEL_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_STATS_SCHEMA = (
+    "batch long, n_rows long, mean_assign_cos double, is_model_batch boolean"
+)
+
+
+class AnnIndexStore:
+    """Persistent incremental IVF-PQ index. ``process_batch(vecs)`` is a
+    ``foreachBatch`` body; ``sink(stream)`` wires it to a streaming
+    query; ``search_ivf``/``search_ivf_pq`` run against ``table()``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 8,
+        m: int = 8,
+        ks: int = 16,
+        drift_tolerance: float = 0.05,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.k, self.m, self.ks = k, m, ks
+        self.drift_tolerance = drift_tolerance
+        self.model_path = f"{self.path}/model"
+        self.table_path = f"{self.path}/table"
+        self.stats_path = f"{self.path}/stats"
+        self._model: tuple[list, list] | None = None
+
+    # -- store ------------------------------------------------------------
+    def _read_or_empty(self, path: str, schema) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(
+                getattr(e, "errorClass", "") or str(e)
+            ):
+                return self.spark.createDataFrame([], schema)
+            raise
+
+    def model(self) -> "tuple[list, list] | None":
+        """(cents, books) or None before the first batch."""
+        if self._model is not None:
+            return self._model
+        rows = self._read_or_empty(self.model_path, _MODEL_SCHEMA).collect()
+        if not rows:
+            return None
+        cents = sorted(
+            (r["i"], list(r["vec"])) for r in rows if r["kind"] == "cent"
+        )
+        book_rows = {
+            (r["i"], r["j"]): list(r["vec"])
+            for r in rows
+            if r["kind"] == "book"
+        }
+        books = [
+            [book_rows[(j, c)] for c in range(self.ks)]
+            for j in range(self.m)
+        ]
+        self._model = (cents, books)
+        return self._model
+
+    def table(self) -> DataFrame:
+        """The searchable assigned corpus (vec_id, v, nrm, cell, pq) —
+        the same columns ``ann.materialized_index`` writes. Replayed
+        appends duplicate identical rows (the model is fixed), so any
+        winner per vec_id is correct."""
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("v", T.ArrayType(T.DoubleType())),
+                T.StructField("nrm", T.DoubleType()),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("pq", T.LongType()),
+            ]
+        )
+        return self._read_or_empty(self.table_path, schema).dropDuplicates(
+            ["vec_id"]
+        )
+
+    def stats(self) -> DataFrame:
+        return self._read_or_empty(
+            self.stats_path, _STATS_SCHEMA
+        ).dropDuplicates(["batch"])
+
+    def drifted_batches(self) -> list[int]:
+        """Batches whose mean assignment cosine fell more than
+        ``drift_tolerance`` below the trailing mean of the PRIOR
+        non-model batches — retrain flags. The model batch is excluded
+        from the baseline (its rows are the training sample, so its fit
+        is optimistically biased), and the first non-model batch
+        bootstraps the baseline unflagged."""
+        rows = sorted(
+            (r for r in self.stats().collect()),
+            key=lambda r: r["batch"],
+        )
+        flagged: list[int] = []
+        seen: list[float] = []
+        for r in rows:
+            if r["is_model_batch"]:
+                continue
+            if seen and r["mean_assign_cos"] < (
+                sum(seen) / len(seen) - self.drift_tolerance
+            ):
+                flagged.append(r["batch"])
+            else:
+                # only in-distribution batches extend the baseline — a
+                # drifted batch must not drag the reference down toward
+                # the drifted level
+                seen.append(r["mean_assign_cos"])
+        return flagged
+
+    # -- per-batch maintenance ---------------------------------------------
+    def process_batch(self, vecs: DataFrame, batch_id: int = 0) -> None:
+        """Assign + encode ``vecs`` (vec_id, embedding) against the fixed
+        model (training it on the first batch), append to the store,
+        record the drift statistic."""
+        from hoard_spark.ann import (
+            assign_cells,
+            centroid_sims,
+            encode_pq,
+            normalized,
+            sample_units,
+            train_centroids,
+            train_pq_codebooks,
+        )
+
+        n = normalized(vecs, persist=False)
+        model = self.model()
+        is_model_batch = model is None
+        if is_model_batch:
+            X = sample_units(n)
+            cents = train_centroids(n, k=self.k, X=X)
+            books = train_pq_codebooks(n, m=self.m, ks=self.ks, X=X)
+            rows = [("cent", i, 0, v) for i, v in cents] + [
+                ("book", j, c, cw)
+                for j, bj in enumerate(books)
+                for c, cw in enumerate(bj)
+            ]
+            # repartition(1), not coalesce(1): see ann.materialized_index
+            self.spark.createDataFrame(
+                rows, schema=_MODEL_SCHEMA
+            ).repartition(1).write.mode("overwrite").parquet(self.model_path)
+            self._model = (cents, books)
+        else:
+            cents, books = model
+
+        enc = encode_pq(assign_cells(n, cents), books).select(
+            "vec_id", "v", "nrm", "cell", "pq"
+        )
+        enc.write.mode("append").parquet(self.table_path)
+
+        # drift statistic over what was just written (reread the batch's
+        # rows via the lineage — one tiny agg job, no store scan)
+        stat = enc.select(
+            F.element_at(
+                centroid_sims(cents), F.col("cell") + 1
+            ).alias("_c")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.avg("_c").alias("mean_assign_cos"),
+        )
+        stat.select(
+            F.lit(batch_id).cast("long").alias("batch"),
+            "n_rows",
+            "mean_assign_cos",
+            F.lit(is_model_batch).alias("is_model_batch"),
+        ).repartition(1).write.mode("append").parquet(self.stats_path)
+
+    # -- streaming wiring -------------------------------------------------
+    def sink(self, stream_vecs: DataFrame, checkpoint: str):
+        """writeStream.foreachBatch over ``process_batch``."""
+        return (
+            stream_vecs.writeStream.foreachBatch(
+                lambda b, bid: self.process_batch(b, bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -86,3 +86,25 @@ def test_info_matches_reference_fixture_header():
         (3600, 8760),
         (86400, 1095),
     ]
+
+
+def test_create_many_one_write_all_or_nothing(tmp_path):
+    """Bulk registration (the Whisper-migration path): one catalog save
+    for N metrics; a bad entry (duplicate or invalid) admits NOTHING."""
+    cat = Catalog(str(tmp_path))
+    infos = cat.create_many(
+        [(f"m{i}", [(60, 10), (600, 5)], 0.5) for i in range(50)],
+        now=1_700_000_000,
+    )
+    assert len(infos) == 50 and cat.exists("m49")
+    # persisted in one shot
+    cat2 = Catalog(str(tmp_path))
+    assert len(cat2.metrics()) == 50
+    # duplicate within the batch -> all-or-nothing
+    with pytest.raises(HoardError, match="already exists"):
+        cat.create_many([("new1", [(60, 10)], 0.5), ("m0", [(60, 10)], 0.5)])
+    assert not cat.exists("new1")
+    # invalid archives -> all-or-nothing
+    with pytest.raises(HoardError):
+        cat.create_many([("new2", [(60, 10)], 0.5), ("new3", [], 0.5)])
+    assert not cat.exists("new2")

@@ -1,0 +1,186 @@
+"""Streaming incremental ANN index maintenance (streaming/annindex).
+
+The pin is the equivalence contract: after N micro-batches, the store's
+assigned table is ROW-FOR-ROW equal to the batch index build
+(``encode_pq(assign_cells(normalized(corpus), cents), books)``) over
+the union corpus with the store's own model — so incremental
+maintenance IS the batch build amortized over arrivals, and every
+``hoard_spark.ann`` search runs against the store unchanged. Plus the
+store disciplines shared with the neardup/vector stores (replay
+idempotency, checkpointed file-source drive) and the drift trigger.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoard_spark.streaming.annindex import AnnIndexStore
+
+DIM = 64
+
+
+def _raw(tag: str) -> list:
+    out = []
+    for j in range(DIM):
+        d = hashlib.md5(f"{tag}:{j}".encode()).digest()
+        u = int.from_bytes(d[:8], "big") / float(1 << 64)
+        out.append(2.0 * u - 1.0)
+    return out
+
+
+# CLUSTERED corpus (4 prototype directions + 15% noise): an isotropic
+# random corpus has no structure for k-means to learn (assign-cos ~0.2
+# for EVERYTHING, drifted or not), so the drift trigger would be
+# untestable on it; clustered data gives in-distribution batches
+# assign-cos ~0.95+ and leaves anything off-prototype clearly below.
+_PROTOS = [_raw(f"p{c}") for c in range(4)]
+
+
+def _vec(vid: int) -> list:
+    noise = _raw(f"a{vid}")
+    p = _PROTOS[vid % 4]
+    return [p[j] + 0.15 * noise[j] for j in range(DIM)]
+
+
+def _to_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return AnnIndexStore(spark, str(tmp_path / "annidx"))
+
+
+def _batches(spark, n=60, parts=3):
+    rows = [(i, _vec(i)) for i in range(n)]
+    step = n // parts
+    return [
+        _to_df(spark, rows[i * step : (i + 1) * step])
+        for i in range(parts)
+    ], _to_df(spark, rows)
+
+
+def test_incremental_store_equals_batch_build(spark, store):
+    """The headline contract (VERDICT r9 stretch 8)."""
+    from hoard_spark.ann import assign_cells, encode_pq, normalized
+
+    batches, corpus = _batches(spark)
+    for b, df in enumerate(batches):
+        store.process_batch(df, batch_id=b)
+    cents, books = store.model()
+
+    batch_rows = sorted(
+        map(
+            str,
+            encode_pq(
+                assign_cells(normalized(corpus, persist=False), cents),
+                books,
+            )
+            .select("vec_id", "v", "nrm", "cell", "pq")
+            .collect(),
+        )
+    )
+    store_rows = sorted(map(str, store.table().collect()))
+    assert store_rows == batch_rows
+    assert len(store_rows) == 60
+
+
+def test_search_over_store_finds_planted_clone(spark, store):
+    """Search-shape smoke: an exact clone arriving in a LATER batch must
+    come back as its source's top-1 through both the IVF and the ADC
+    search over the store table (clone and source share a cell for any
+    fixed model — the q39/q91 argument on the incremental store)."""
+    from hoard_spark.ann import search_ivf, search_ivf_pq
+
+    batches, _ = _batches(spark)
+    for b, df in enumerate(batches):
+        store.process_batch(df, batch_id=b)
+    # batch 4: clones of vectors 3 and 17 at +1000
+    store.process_batch(
+        _to_df(spark, [(1003, _vec(3)), (1017, _vec(17))]), batch_id=3
+    )
+    cents, books = store.model()
+    table = store.table()
+    probes = table.where(F.col("vec_id") >= 1000).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ivf = {
+        (r["q_id"], r["n_id"])
+        for r in search_ivf(table, cents, probes, k=1, nprobe=6).collect()
+    }
+    adc = {
+        (r["q_id"], r["n_id"])
+        for r in search_ivf_pq(
+            table, table, cents, books, probes, k=1, nprobe=6, rerank=16
+        ).collect()
+    }
+    assert ivf == adc == {(1003, 3), (1017, 17)}
+
+
+def test_replay_is_idempotent(spark, store):
+    batches, _ = _batches(spark)
+    for b, df in enumerate(batches):
+        store.process_batch(df, batch_id=b)
+    before = sorted(map(str, store.table().collect()))
+    stats_before = sorted(map(str, store.stats().collect()))
+    store.process_batch(batches[1], batch_id=1)  # replay
+    assert sorted(map(str, store.table().collect())) == before
+    assert sorted(map(str, store.stats().collect())) == stats_before
+
+
+def test_drift_trigger_flags_moved_distribution(spark, store):
+    """Batches drawn from the same distribution stay unflagged (the
+    baseline is the trailing non-model batches, NOT the model batch's
+    optimistically-biased self-fit); a batch of basis vectors — near-
+    orthogonal to every trained centroid, assign-cos ~|c_j| instead of
+    the in-distribution level — must trip the trigger."""
+    batches, _ = _batches(spark)
+    for b, df in enumerate(batches):
+        store.process_batch(df, batch_id=b)
+    assert store.drifted_batches() == []
+    basis = []
+    for i in range(20):
+        v = [0.0] * DIM
+        v[i % DIM] = 1.0
+        basis.append((2000 + i, v))
+    store.process_batch(_to_df(spark, basis), batch_id=9)
+    assert store.drifted_batches() == [9]
+
+
+def test_streaming_file_source_incremental(spark, store, tmp_path):
+    """Checkpointed file-source drive: only new files are processed per
+    availableNow trigger, and the final store equals the batch build."""
+    from hoard_spark.ann import assign_cells, encode_pq, normalized
+
+    src = tmp_path / "src"
+    ck = str(tmp_path / "ck")
+    batches, corpus = _batches(spark)
+    batches[0].write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(f"{src}/*")
+    )
+    store.sink(stream, ck).awaitTermination()
+    assert store.table().count() == 20
+    batches[1].write.parquet(f"{src}/b1")
+    batches[2].write.parquet(f"{src}/b2")
+    store.sink(stream, ck).awaitTermination()
+    cents, books = store.model()
+    batch_rows = sorted(
+        map(
+            str,
+            encode_pq(
+                assign_cells(normalized(corpus, persist=False), cents),
+                books,
+            )
+            .select("vec_id", "v", "nrm", "cell", "pq")
+            .collect(),
+        )
+    )
+    assert sorted(map(str, store.table().collect())) == batch_rows
