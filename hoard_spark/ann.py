@@ -618,18 +618,21 @@ def materialized_index(
 ) -> "tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]]]":
     """Corpus-keyed materialized IVF-PQ index: ``(table, cents, books)``.
 
-    Two artifacts per (corpus fingerprint, name) via
-    ``hoard_spark.artifacts.get_or_build`` — the same persisted-table
-    pattern as the near-dup cluster table (queries/llm.py q51/q67):
+    Two artifacts per (corpus fingerprint, name):
 
-    - ``<name>_model``: the k unit centroids and the m×ks PQ codebooks
-      (a few hundred tiny rows; trained on the bounded deterministic
-      sample only on first build).
-    - ``<name>_table``: the corpus with ``cell`` and ``pq`` attached —
-      one map-side assignment+encode pass, written once. Every
-      subsequent search is a plain parquet scan: no training collects,
-      no giant encode expression in the consumer's plan, and the ADC
-      path reads just (vec_id, cell, pq) columns.
+    - ``<name>_model.json``: the k unit centroids and the m×ks PQ
+      codebooks (a few KB; trained on the bounded deterministic sample
+      only on first build). Stored as a JSON sidecar via
+      ``artifacts.get_or_build_json`` — zero Spark jobs to read or
+      write (as a parquet table it cost a write job plus a collect job
+      on every cold consumer), plus an in-process memo so the five
+      consumer queries pay even the driver round-trip once.
+    - ``<name>_table``: the corpus with ``cell`` and ``pq`` attached
+      (``artifacts.get_or_build`` parquet) — one map-side
+      assignment+encode pass, written once. Every subsequent search is
+      a plain parquet scan: no training collects, no giant encode
+      expression in the consumer's plan, and the ADC path reads just
+      (vec_id, cell, pq) columns.
 
     This is the 100 TB shape the module docstring promises: materialize
     the assignment per corpus version, search against it everywhere.
@@ -638,17 +641,10 @@ def materialized_index(
     when varying them — the fingerprint keys on corpus files, not on
     builder code.
     """
-    from pyspark.sql import types as T
-
-    from hoard_spark.artifacts import corpus_fingerprint, get_or_build
-
-    model_schema = T.StructType(
-        [
-            T.StructField("kind", T.StringType()),
-            T.StructField("i", T.IntegerType()),
-            T.StructField("j", T.IntegerType()),
-            T.StructField("vec", T.ArrayType(T.DoubleType())),
-        ]
+    from hoard_spark.artifacts import (
+        corpus_fingerprint,
+        get_or_build,
+        get_or_build_json,
     )
 
     # Cold-build state shared between the two builders: ONE normalized
@@ -668,44 +664,29 @@ def materialized_index(
             )
         return shared["n"]
 
-    def build_model() -> DataFrame:
+    def build_model() -> dict:
         n = corpus_n()
         X = sample_units(n)
         cents = train_centroids(n, k=k, X=X)
         books = train_pq_codebooks(n, m=m, ks=ks, X=X)
-        rows = [("cent", i, 0, v) for i, v in cents] + [
-            ("book", j, c, cw)
-            for j, bj in enumerate(books)
-            for c, cw in enumerate(bj)
-        ]
-        # k + m*ks rows total — one file, not one per shuffle partition
-        # (32 tiny parquet files cost ~1s of task overhead per write/read;
-        # repartition, NOT coalesce: coalesce(1) over a LocalTableScan
-        # defeats its fast path and measures ~4.5s vs 0.5s)
-        return spark.createDataFrame(rows, schema=model_schema).repartition(1)
+        return {"cents": [[i, v] for i, v in cents], "books": books}
 
     # Driver-side memo keyed on the corpus fingerprint: five conformance
-    # queries share one index, and without the memo each re-collects the
-    # identical ~150-row model table (one Spark job per query). The
-    # fingerprint key keeps the memo exactly as fresh as the artifact.
+    # queries share one index; the fingerprint key keeps the memo exactly
+    # as fresh as the artifact.
     memo_key = (corpus_fingerprint(sf_dir, tables, spark), name, k, m, ks)
     cached = _MODEL_MEMO.get(memo_key)
     if cached is not None:
         cents, books = cached
     else:
-        model = get_or_build(
+        model = get_or_build_json(
             spark, sf_dir, f"{name}_model", tables, build_model
-        ).collect()
-        cents = sorted(
-            (r["i"], list(r["vec"])) for r in model if r["kind"] == "cent"
         )
-        book_rows = {
-            (r["i"], r["j"]): list(r["vec"])
-            for r in model
-            if r["kind"] == "book"
-        }
+        cents = sorted(
+            (int(i), [float(x) for x in v]) for i, v in model["cents"]
+        )
         books = [
-            [book_rows[(j, c)] for c in range(ks)] for j in range(m)
+            [[float(x) for x in cw] for cw in bj] for bj in model["books"]
         ]
         _MODEL_MEMO[memo_key] = (cents, books)
 

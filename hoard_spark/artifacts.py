@@ -90,6 +90,39 @@ def corpus_fingerprint(
     return h.hexdigest()[:16]
 
 
+def get_or_build_json(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: Iterable[str],
+    build: Callable[[], object],
+) -> object:
+    """Corpus-keyed SMALL driver-side artifact (a model sidecar: trained
+    centroids/codebooks, a few KB of JSON) — same fingerprint/staging
+    discipline as ``get_or_build``, but written/read through the FS
+    stream API with ZERO Spark jobs. A tiny model stored as a parquet
+    table costs a write job + a collect job per cold consumer; as JSON
+    it costs one driver round-trip."""
+    import json
+
+    fs = WarehouseFS(spark)
+    path = _join(
+        artifacts_root(),
+        corpus_fingerprint(sf_dir, tables, spark),
+        f"{name}.json",
+    )
+    if fs.exists(path):
+        return json.loads(fs.read_bytes(path).decode("utf-8"))
+    obj = build()
+    staging = f"{path}.stage{os.getpid()}"
+    fs.write_bytes(staging, json.dumps(obj).encode("utf-8"))
+    if fs.exists(path):
+        fs.rmtree(staging)  # concurrent builder published first
+    else:
+        fs.rename(staging, path)
+    return json.loads(fs.read_bytes(path).decode("utf-8"))
+
+
 def get_or_build(
     spark: SparkSession,
     sf_dir: str,

@@ -181,6 +181,23 @@ class WarehouseFS:
             stream.close()
         return bytes(data)
 
+    def write_bytes(self, p: str, data: bytes) -> None:
+        """Whole-file write through the Hadoop stream API (file://, HDFS,
+        S3). SMALL control-plane files only (model sidecars, markers) —
+        data belongs in Spark writes. Overwrites; creates parent dirs."""
+        lp = self._local_path(p)
+        if lp is not None:
+            os.makedirs(os.path.dirname(lp) or ".", exist_ok=True)
+            with open(lp, "wb") as f:
+                f.write(data)
+            return
+        fs = self._fs(p)
+        stream = fs.create(self._path(p), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
     def rmtree(self, p: str) -> None:
         fs = self._fs(p)
         hp = self._path(p)

@@ -1404,13 +1404,19 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     the library level (tests/test_ann.py).
 
     Plan shape: the 16-bit SimHash signature and its 2-band explode are
-    codegen projections over literal hyperplanes on both sides (no
-    corpus shuffle to build anything, no training collects, no
-    artifact); the probe side broadcasts into the band equi-join and
-    only the candidate set is deduped + ranked."""
-    from hoard_spark.ann import normalized, search_lsh
+    codegen projections over literal hyperplanes on both sides — LSH
+    itself needs NO trained index (no training collects, no corpus
+    shuffle to build anything); the probe side broadcasts into the band
+    equi-join and only the candidate set is deduped + ranked. The
+    corpus (vec_id, v, nrm) is read off the shared unified artifact —
+    pure input reuse, the signatures stay per-run map-side — instead of
+    re-normalizing the union per invocation."""
+    from hoard_spark.ann import search_lsh
 
-    n = normalized(_planted_corpus(spark, sf_dir))
+    table, _cents, _books = _planted_index(spark, sf_dir)
+    n = table.where(F.col("vec_id") < _RECALL_ALT_OFF).select(
+        "vec_id", "v", "nrm"
+    )
     probes = n.where(F.col("vec_id") >= _ANN_OFFSET).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
@@ -2842,13 +2848,17 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape (the exact-substring-dedup standard at scale): posexplode +
     window ``lead`` streams spans without materializing arrays (the
-    shingle-family plan); the span table groups by the gram string with
-    map-side partial aggregation — the one unavoidable shuffle of an
-    exact dedup; the per-doc recount joins spans back to the
-    vocabulary-sized gram-frequency table. Span occurrences duplicated
-    WITHIN one doc only (nd = 1) are not counted as shared — the signal
-    is cross-document contamination, not self-repetition (q65 covers
-    that)."""
+    shingle-family plan); then ONE exact pre-aggregation on
+    (gram, doc_id) — the unavoidable shuffle of an exact dedup, with
+    map-side combine compressing within-doc repeats — and the
+    cross-document count rides a window over the pre-aggregated
+    (gram, doc) rows instead of joining the span table back to a
+    gram-frequency table (the r9 shape: cache + groupBy + join +
+    re-shuffle of the FULL span table; the window form shuffles only
+    the dedup-compressed rows and needs no cache). Span occurrences
+    duplicated WITHIN one doc only (nd = 1) are not counted as
+    shared — the signal is cross-document contamination, not
+    self-repetition (q65 covers that)."""
     from pyspark.sql import Window
 
     toks = spread(load(spark, sf_dir, "documents")).select(
@@ -2867,16 +2877,16 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_t").isNotNull())
         .select("doc_id", "g")
     )
-    spans = track_cache(spans)
-    gc = spans.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    gd = spans.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
+    nd = F.count("*").over(Window.partitionBy("g"))
     return (
-        spans.join(gc, "g")
+        gd.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+            F.sum("c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)
+            ).alias("n_shared"),
         )
         .select(
             "doc_id",
