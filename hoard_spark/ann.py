@@ -111,27 +111,42 @@ def _lit_vec(xs: "list[float]") -> Column:
     return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
 
 
+def _lit_matrix(rows: "list[list[float]]") -> Column:
+    """Literal array<array<double>> — one parsed SQL string (see
+    ``_lit_vec``); builder-API fallback for non-finite values."""
+    if not all(math.isfinite(x) for r in rows for x in r):
+        return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def centroid_sims(
     cents: "list[tuple[int, list[float]]]",
     vec: str = "v",
     nrm: str = "nrm",
 ) -> Column:
-    """array<double> of cos(vec, centroid_i) per row — all literals,
-    whole-stage codegen; centroids must be unit vectors."""
-    dots = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec),
-                _lit_vec(c_v),
-                lambda a, b: a * b,
-            ),
+    """array<double> of cos(vec, centroid_i) per row — ONE transform
+    over the nested literal centroid matrix (one lambda in the plan
+    instead of k copies of the dot expression — generated-code size is
+    a real driver cost when every ANN query builds these per
+    invocation); whole-stage codegen; centroids must be unit vectors.
+    zip_with multiplies (centroid_j * vec_j) in the same ascending-j
+    order as the previous per-centroid form — bit-identical doubles."""
+    return F.transform(
+        _lit_matrix([c_v for _, c_v in cents]),
+        lambda c: F.aggregate(
+            F.zip_with(c, F.col(vec), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / F.col(nrm)
-        for _, c_v in cents
-    ]
-    return F.array(*dots)
+        / F.col(nrm),
+    )
 
 
 def assign_cells(
@@ -484,27 +499,32 @@ def lsh_signature(
     planes: "list[list[float]]", vec: str = "v"
 ) -> Column:
     """h-bit SimHash signature packed into one LONG — bit i is
-    sign(dot(vec, plane_i)). Pure codegen projection over literal
-    hyperplanes: the signature build rides the scan map-side, the same
-    no-corpus-shuffle shape as IVF cell assignment."""
-    bits = []
-    for i, p in enumerate(planes):
+    sign(dot(vec, plane_i)). Pure codegen projection over the ONE
+    nested literal plane matrix (a transform with an index lambda,
+    instead of h separate dot expressions summed — generated-code size
+    is a real per-query driver cost); the signature build rides the
+    scan map-side, the same no-corpus-shuffle shape as IVF cell
+    assignment. Arithmetic is bit-identical to the per-plane form:
+    same ascending-j zip_with dot, same >= 0 threshold, same bit i."""
+    def bit(p: Column, i: Column) -> Column:
         dot = F.aggregate(
-            F.zip_with(
-                F.col(vec),
-                _lit_vec(p),
-                lambda a, b: a * b,
-            ),
+            F.zip_with(p, F.col(vec), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(
-            F.shiftleft(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        # call_function: the DSL's F.shiftleft only takes a Python int
+        # for numBits; the SQL function accepts the index expression
+        return F.call_function(
+            "shiftleft",
+            F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            i,
         )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+
+    return F.aggregate(
+        F.transform(_lit_matrix(planes), bit),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def _bands(sig: Column, bands: int, band_bits: int) -> Column:
