@@ -120,6 +120,29 @@ def python_fetch(
         d += timedelta(days=1)
     files = _list_date_files(os.path.join(root, f"tier={tier}", mid), dates)
 
+    if not files and info.last_update > 0:
+        # Backstop (ADVICE r10): the engine's fast path falls back to the
+        # Spark plan on an empty listing precisely because a listing
+        # misresolution (URI-form path on a remote warehouse, permission
+        # error surfacing as "not found") would otherwise be masked as a
+        # silent all-NULL answer. The UDTF has no Spark plan to fall back
+        # to, so distinguish the two cases structurally: the catalog says
+        # this metric HAS been written (lastUpdate > 0), and any write
+        # creates the tier store root — if that root itself is absent,
+        # the path is misresolving and the fetch must fail loudly, not
+        # return an all-NULL spine. A present root with no files for the
+        # window's dates is a genuinely empty window (NULLs are correct).
+        tier_root = os.path.join(root, f"tier={tier}")
+        if not os.path.isdir(tier_root):
+            raise HoardError(
+                f"hoard_fetch: metric '{metric}' has writes (lastUpdate="
+                f"{info.last_update}) but the tier store directory "
+                f"{tier_root!r} is absent — the warehouse path is not "
+                "resolving as a local directory (URI-form or non-POSIX "
+                "warehouse?); fetch through the engine API, which routes "
+                "through the Spark plan"
+            )
+
     import pyarrow.parquet as pq
 
     # tier 0: LWW merge (max seq wins per bucket); tier>0: rollup rows

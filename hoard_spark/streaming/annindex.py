@@ -35,6 +35,15 @@ maintenance is exactly the batch index amortized over arrivals.
 Replays are idempotent: ``table()`` dedupes by vec_id (a replayed
 append duplicates whole rows, never disagreeing ones — the model is
 fixed), the store discipline shared with the neardup/vector stores.
+The append-only invariant is GUARDED, not assumed (ADVICE r10): a
+vec_id already in the store may only be re-ingested byte-identically;
+a batch that re-keys a vec_id to a different embedding raises before
+anything is written (same fingerprint discipline as the containment
+store). The stats table is idempotent per batch — a replay whose stats
+row already exists skips the append, and ``is_model_batch`` is derived
+from the batch id RECORDED IN THE MODEL SIDECAR, so a crash between
+the model write and the checkpoint commit replays the training batch
+with its original flag instead of polluting the drift baseline.
 
 Scale: per batch the work is one map-side assign+encode over the batch
 plus an append — no store rescan, no shuffle of the store; the stats
@@ -88,6 +97,7 @@ class AnnIndexStore:
         self.table_path = f"{self.path}/table"
         self.stats_path = f"{self.path}/stats"
         self._model: tuple[list, list] | None = None
+        self._model_batch: int | None = None
 
     # -- store ------------------------------------------------------------
     def _read_or_empty(self, path: str, schema) -> DataFrame:
@@ -121,8 +131,17 @@ class AnnIndexStore:
             [book_rows[(j, c)] for c in range(self.ks)]
             for j in range(self.m)
         ]
+        meta = [r["i"] for r in rows if r["kind"] == "meta"]
+        self._model_batch = meta[0] if meta else None
         self._model = (cents, books)
         return self._model
+
+    def model_batch_id(self) -> "int | None":
+        """The batch id the model was trained on (from the model
+        sidecar's ``meta`` row), or None before the first batch / for
+        pre-r11 sidecars that predate the row."""
+        self.model()  # populate the cache
+        return getattr(self, "_model_batch", None)
 
     def table(self) -> DataFrame:
         """The searchable assigned corpus (vec_id, v, nrm, cell, pq) —
@@ -191,8 +210,14 @@ class AnnIndexStore:
 
         n = normalized(vecs, persist=False)
         model = self.model()
-        is_model_batch = model is None
-        if is_model_batch:
+        # is_model_batch derives from the batch id recorded in the model
+        # sidecar, NOT from "no model yet": a crash between the model
+        # write and the checkpoint commit replays the training batch with
+        # a non-None model, and the replayed stats row must carry the
+        # original flag or the drift baseline absorbs the optimistically-
+        # biased training fit (ADVICE r10).
+        is_model_batch = model is None or self.model_batch_id() == batch_id
+        if model is None:
             X = sample_units(n)
             cents = train_centroids(n, k=self.k, X=X)
             books = train_pq_codebooks(n, m=self.m, ks=self.ks, X=X)
@@ -200,22 +225,65 @@ class AnnIndexStore:
                 ("book", j, c, cw)
                 for j, bj in enumerate(books)
                 for c, cw in enumerate(bj)
-            ]
+            ] + [("meta", int(batch_id), 0, [])]
             # repartition(1), not coalesce(1): see ann.materialized_index
             self.spark.createDataFrame(
                 rows, schema=_MODEL_SCHEMA
             ).repartition(1).write.mode("overwrite").parquet(self.model_path)
             self._model = (cents, books)
+            self._model_batch = int(batch_id)
         else:
             cents, books = model
 
         enc = encode_pq(assign_cells(n, cents), books).select(
             "vec_id", "v", "nrm", "cell", "pq"
         )
+        # Guard the append-only store invariant (ADVICE r10, mirroring the
+        # containment store's fingerprint guard): a vec_id already in the
+        # store may only be re-ingested byte-identically (a replay). A
+        # DIFFERENT embedding under an existing vec_id would leave
+        # table()'s dropDuplicates to pick a nondeterministic winner.
+        # The check semi-joins the store against only this batch's ids,
+        # so a normal only-adds-vectors batch compares an empty frame.
+        prev = self._read_or_empty(
+            self.table_path, enc.schema
+        ).join(enc.select("vec_id").distinct(), "vec_id", "left_semi")
+        conflicts = [
+            r["vec_id"]
+            for r in prev.alias("s")
+            .join(enc.alias("b"), "vec_id")
+            .where(
+                (F.col("s.cell") != F.col("b.cell"))
+                | (F.col("s.pq") != F.col("b.pq"))
+                | (F.col("s.nrm") != F.col("b.nrm"))
+                | (F.col("s.v") != F.col("b.v"))
+            )
+            .select("vec_id")
+            .limit(5)
+            .collect()
+        ]
+        if conflicts:
+            raise ValueError(
+                "AnnIndexStore: vec_ids re-ingested with a different "
+                f"embedding than the store holds: {conflicts} — the index "
+                "store is append-only; only byte-identical replays of an "
+                "existing vec_id are allowed (re-key changed vectors)"
+            )
         enc.write.mode("append").parquet(self.table_path)
 
         # drift statistic over what was just written (reread the batch's
-        # rows via the lineage — one tiny agg job, no store scan)
+        # rows via the lineage — one tiny agg job, no store scan).
+        # Idempotent per batch: a replay whose stats row already exists
+        # skips the append, so stats() never holds two rows for one batch
+        # (ADVICE r10 — dropDuplicates would pick nondeterministically).
+        if (
+            self._read_or_empty(self.stats_path, _STATS_SCHEMA)
+            .where(F.col("batch") == int(batch_id))
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return
         stat = enc.select(
             F.element_at(
                 centroid_sims(cents), F.col("cell") + 1

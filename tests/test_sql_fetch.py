@@ -171,3 +171,29 @@ def test_property_python_fetch_equals_engine(
     ti_e, v_e = eng.fetch("m", frm, min(frm + width, _NOW - 1), now=_NOW)
     ti_p, v_p = python_fetch(wh, "m", frm, min(frm + width, _NOW - 1), _NOW)
     assert tuple(ti_e) == tuple(ti_p) and v_e == v_p
+
+
+def test_sql_fetch_misresolved_store_raises_not_nulls(spark, engine):
+    """Backstop (ADVICE r10): the catalog says the metric has writes but
+    the tier store root is absent — a listing misresolution must raise,
+    not return a silent all-NULL spine. A present store root with no
+    files for the window's dates stays a genuinely-empty NULL spine."""
+    import shutil
+
+    now = 1_700_000_000
+    engine.create("written", [(10, 100), (100, 100)])
+    base = now - now % 10
+    engine.update_many("written", [(base - 40, 1.0)], now=now)
+
+    # genuinely empty window (different part of the retention, store
+    # root present): NULLs, no raise
+    _, vals = python_fetch(
+        engine.warehouse_dir, "written", base - 900, base - 800, now
+    )
+    assert set(vals) == {None}
+
+    shutil.rmtree(os.path.join(engine.warehouse_dir, "points"))
+    with pytest.raises(HoardError, match="not resolving"):
+        python_fetch(
+            engine.warehouse_dir, "written", base - 45, base - 15, now
+        )

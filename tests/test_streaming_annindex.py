@@ -184,3 +184,60 @@ def test_streaming_file_source_incremental(spark, store, tmp_path):
         )
     )
     assert sorted(map(str, store.table().collect())) == batch_rows
+
+
+def test_training_batch_replay_keeps_model_flag(spark, store, tmp_path):
+    """Crash-window replay (ADVICE r10): model written, stats + checkpoint
+    lost. The replayed training batch must re-append its stats row with
+    is_model_batch=True — derived from the batch id in the model sidecar,
+    not from "no model yet" — so the drift baseline never absorbs the
+    training batch's optimistically-biased self-fit."""
+    import shutil
+
+    batches, _ = _batches(spark)
+    store.process_batch(batches[0], batch_id=0)
+    shutil.rmtree(store.stats_path)  # simulate crash before stats commit
+    # fresh instance: the replay must read the flag from the sidecar
+    replayer = AnnIndexStore(spark, store.path)
+    replayer.process_batch(batches[0], batch_id=0)
+    rows = replayer.stats().collect()
+    assert len(rows) == 1
+    assert rows[0]["batch"] == 0 and rows[0]["is_model_batch"] is True
+    # and the baseline logic still excludes it
+    replayer.process_batch(batches[1], batch_id=1)
+    replayer.process_batch(batches[2], batch_id=2)
+    assert replayer.drifted_batches() == []
+
+
+def test_stats_append_idempotent_per_batch(spark, store):
+    """A replay whose stats row already exists skips the append — the raw
+    stats parquet (no dedupe) holds exactly one row per batch."""
+    batches, _ = _batches(spark)
+    for b in range(3):
+        store.process_batch(batches[b], batch_id=b)
+    store.process_batch(batches[1], batch_id=1)  # replay
+    store.process_batch(batches[2], batch_id=2)  # replay
+    raw = spark.read.parquet(store.stats_path)
+    counts = {
+        r["batch"]: r["n"]
+        for r in raw.groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 1, 1: 1, 2: 1}
+
+
+def test_reingest_conflict_raises(spark, store):
+    """Append-only invariant guard (ADVICE r10, mirroring the containment
+    store): re-ingesting an existing vec_id with a DIFFERENT embedding
+    raises before anything is written; a byte-identical replay passes."""
+    batches, _ = _batches(spark)
+    store.process_batch(batches[0], batch_id=0)
+    before = sorted(map(str, store.table().collect()))
+    with pytest.raises(ValueError, match="re-ingested with a different"):
+        store.process_batch(
+            _to_df(spark, [(0, _vec(999))]), batch_id=1
+        )
+    # nothing written by the rejected batch
+    assert sorted(map(str, store.table().collect())) == before
+    # byte-identical replay of vec_id 0 still passes the guard
+    store.process_batch(_to_df(spark, [(0, _vec(0))]), batch_id=2)
+    assert sorted(map(str, store.table().collect())) == before
