@@ -131,6 +131,9 @@ def main() -> None:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        # skip PySpark's per-op Python stack walk (error-origin
+        # decoration only; see hoard_spark/session.py)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

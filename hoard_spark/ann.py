@@ -350,29 +350,60 @@ def encode_pq(
     return n.withColumn("pq", packed)
 
 
+def _lit_cube(rows: "list[list[list[float]]]") -> Column:
+    """Literal array<array<array<double>>> — one parsed SQL string (see
+    ``_lit_vec``); builder-API fallback for non-finite values."""
+    if not all(math.isfinite(x) for m in rows for r in m for x in r):
+        return F.array(
+            *[
+                F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in m])
+                for m in rows
+            ]
+        )
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+                for r in m
+            )
+            + ")"
+            for m in rows
+        )
+        + ")"
+    )
+
+
 def pq_lut(
     books: "list[list[list[float]]]", vec: str = "q_v", nrm: str = "q_nrm"
 ) -> Column:
     """array<array<double>> — per subspace, dot(query_unit_j, codeword_c)
     for every codeword. All-literal codebooks; evaluated once per PROBE
-    row (the small side), never per candidate."""
+    row (the small side), never per candidate. ONE nested transform over
+    the 3-level literal codebook cube (two lambdas in the plan instead
+    of m per-book transforms — the same collapse ``centroid_sims`` /
+    ``lsh_signature`` got in r10; generated-code size and per-query
+    lambda-construction round trips are real driver costs). Arithmetic
+    is bit-identical to the per-book form: same ascending-c zip_with
+    dot over the same subspace slice."""
     m, d = len(books), len(books[0][0])
-    dim = m * d
     unit = F.transform(F.col(vec), lambda x: x / F.col(nrm))
-    luts = []
-    for j, (off, _) in enumerate(_subspace_slices(dim, m)):
-        sub = F.slice(unit, off, d)
-        luts.append(
-            F.transform(
-                _lit_book(books[j]),
-                lambda cw: F.aggregate(
-                    F.zip_with(cw, sub, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, p: acc + p,
+    return F.transform(
+        _lit_cube(books),
+        lambda bj, j: F.transform(
+            bj,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    cw,
+                    F.slice(unit, j * d + 1, d),
+                    lambda a, b: a * b,
                 ),
-            )
-        )
-    return F.array(*luts)
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ),
+        ),
+    )
 
 
 def search_ivf_pq(

@@ -1283,67 +1283,227 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     candidate meeting) passes the oracle. PQ/LSH reuse q39/q91's
     materialized index / corpus untouched; all paths recompute the
     output cosine through the decimal-stable rounding discipline over
-    the k=1 rows (see q99)."""
-    from hoard_spark.ann import search_ivf, search_ivf_pq, search_lsh
+    the k=1 rows (see q99).
+
+    FUSED DRIVE (VERDICT r10 item 1a): the three engines used to run as
+    three separate search jobs — three artifact scans, three probe
+    broadcasts, three candidate shuffles — and at conformance scale the
+    query's wall was almost entirely that repeated fixed cost. All three
+    meetings are equi-joins of the corpus against a bounded probe set,
+    differing only in the join key (IVF cell, LSH band, filtered cell)
+    and the per-path ranking, so they fuse into ONE (tag, key) candidate
+    meeting: one scan of the unified artifact exploding each row's keys
+    per path it participates in, one probe broadcast carrying every
+    path's keys + the ADC LUT, one shuffle ranking all paths via two
+    same-partitioning windows (ADC cut for the PQ path, exact-cosine
+    top-1 for all). Per-path semantics are bit-identical to the library
+    engines (``search_ivf_pq`` / ``search_lsh`` / filtered
+    ``search_ivf``): same candidate sets, same rounded-cosine ranking,
+    same tie-breaks; the LSH duplicate-collision dedup is subsumed by
+    k=1 ranking (duplicates of the winning pair are adjacent under
+    (cos, n_id) and rn=1 picks one). At 100 TB the fusion argument
+    holds: the meeting stays candidate-only (never all-pairs), the
+    probe side stays broadcast-sized, and one wide-key shuffle replaces
+    three."""
+    from pyspark.sql import Window
+
+    from hoard_spark.ann import (
+        _bands,
+        centroid_sims,
+        hyperplanes,
+        lsh_signature,
+        pq_lut,
+    )
 
     table, cents, books = _planted_index(spark, sf_dir)
-    n = _emb_norm(spark, sf_dir)
     q_v = F.concat(
         F.array(F.get("v", 0) + F.lit(_RECALL_EPS) * F.col("nrm")),
         F.expr("slice(v, 2, size(v) - 1)"),
     )
-    # The tiny probe frame feeds all three search paths plus the final
-    # cosine join — persist it so the perturbation expressions evaluate
-    # once instead of being inlined into four plan branches.
+    # The tiny probe frame feeds the fused meeting plus the final cosine
+    # join — persist it so the perturbation expressions evaluate once.
+    # The probe SOURCES (the base embeddings' v/nrm) are carved off the
+    # unified artifact instead of a fresh _emb_norm plan: same values by
+    # construction (the artifact stores v = CAST(embedding AS DOUBLE)),
+    # one less normalized-corpus build per invocation.
     probes = track_cache(
-        n.where(F.col("vec_id") % _ANN_STEP == _RECALL_RES)
+        table.where(
+            (F.col("vec_id") < _ANN_OFFSET)
+            & (F.col("vec_id") % _ANN_STEP == _RECALL_RES)
+        )
         .select(
             (F.col("vec_id") + F.lit(_RECALL_QOFF)).alias("q_id"),
             q_v.alias("q_v"),
         )
         .withColumn("q_nrm", F.sqrt(F.expr(_DOT.format(a="q_v", b="q_v"))))
     )
-    # The pq/lsh corpora are the DECLARED emb+clones corpus: the range
-    # predicate carves it out of the unified artifact at the scan.
-    corpus = table.where(F.col("vec_id") < _RECALL_ALT_OFF)
-    pq = search_ivf_pq(
-        corpus, corpus, cents, books, probes, k=1, nprobe=nprobe, rerank=32
-    ).select(F.lit("ivfpq").alias("path"), "q_id", "n_id")
-    # The LSH corpus is exactly that table's (vec_id, v, nrm) columns —
-    # read them off the materialized artifact instead of re-normalizing
-    # the union per invocation (the signature + band explode stay
-    # per-run map-side projections: LSH itself needs no index, only the
-    # corpus).
-    lsh = search_lsh(
-        corpus.select("vec_id", "v", "nrm"),
-        probes,
-        k=1,
-        h=16,
-        bands=4,
-        dim=_EMB_DIM,
-    ).select(F.lit("lsh").alias("path"), "q_id", "n_id")
+    # Path constants: the pq/lsh corpora are the DECLARED emb+clones
+    # corpus (vec_id < _RECALL_ALT_OFF carves it out of the unified
+    # artifact); the filtered corpus is `label IN (0, 999)` over the
+    # full artifact (clones fail the sentinel label — the VERDICT r9
+    # pre-filter discipline, with zero per-invocation train/assign
+    # cost). LSH: 16-bit signatures in 4 bands of 4 bits (see the
+    # oracle comment), same fixed hyperplanes as search_lsh's defaults.
+    H, BANDS, RERANK = 16, 4, 32
+    band_bits = H // BANDS
+    planes = hyperplanes(_EMB_DIM, h=H, seed=7)
+    m = len(books)
 
-    # Filtered path (VERDICT r9 watch item): the label predicate carves
-    # the filtered corpus out of the SAME unified artifact — clones fail
-    # the sentinel label, so `label IN (0, 999)` is exactly emb(label 0)
-    # + alt-clones, and the predicate reaches the artifact's parquet
-    # scan as PushedFilters (the pre-filter discipline) with zero
-    # per-invocation train/assign cost.
-    filt = search_ivf(
-        table,
-        cents,
-        probes,
-        k=1,
-        nprobe=nprobe,
-        where=F.col("label").isin(0, _ANN_FILTER_LABEL),
-    ).select(F.lit("ivf_filtered").alias("path"), "q_id", "n_id")
+    def band_keys(sig: Column) -> Column:
+        # (band_i, band_v) encoded into one long key per band
+        return F.transform(
+            _bands(sig, BANDS, band_bits),
+            lambda b: b["band_i"].cast("long") * (1 << band_bits)
+            + b["band_v"],
+        )
 
-    hits = pq.unionByName(lsh).unionByName(filt)
+    def tagged(tag: str, key: Column) -> Column:
+        return F.struct(
+            F.lit(tag).alias("tag"), key.cast("long").alias("key")
+        )
+
+    # Probe side of the meeting: every path's join keys off ONE pass
+    # over the 400-row probe frame — nprobe IVF cells (shared by the pq
+    # and filtered paths), the 4 signature bands, plus the ADC LUT the
+    # pq ranking reads. Broadcast once. Built in TWO DataFrame ops:
+    # classic PySpark re-analyzes the full logical plan per op, so each
+    # extra op here re-walks the ~2.5k-double literal trees below.
+    pc = F.slice(
+        F.array_sort(
+            F.transform(
+                centroid_sims(cents, vec="q_v", nrm="q_nrm"),
+                lambda s, i: F.struct(
+                    (-s).alias("ns"), i.alias("c_id")
+                ),
+            )
+        ),
+        1,
+        int(nprobe),
+    )
+    pk = (
+        probes.select(
+            "q_id",
+            "q_v",
+            "q_nrm",
+            pq_lut(books).alias("lut"),
+            F.explode(
+                F.concat(
+                    F.transform(pc, lambda c: tagged("pq", c["c_id"])),
+                    F.transform(pc, lambda c: tagged("flt", c["c_id"])),
+                    F.transform(
+                        band_keys(lsh_signature(planes, "q_v")),
+                        lambda k: tagged("lsh", k),
+                    ),
+                )
+            ).alias("tk"),
+        )
+        .select(
+            "q_id", "q_v", "q_nrm", "lut",
+            F.col("tk.tag").alias("tag"), F.col("tk.key").alias("key"),
+        )
+        # Checkpoint the probe-key frame (bounded: probes x ~16 keys)
+        # to TRUNCATE ITS LINEAGE: the centroid/codebook/hyperplane
+        # literal trees above are ~2.5k doubles, and classic PySpark
+        # re-analyzes the full logical plan on EVERY subsequent
+        # DataFrame op — measured, dragging these trees through the
+        # join/window/join chain cost ~2s of py4j/analyzer wall at
+        # sf0.1, more than the actual execution. The checkpoint plan is
+        # a leaf relation either way; eager=False folds the frame's
+        # one-time evaluation into the first job that reads it instead
+        # of paying a separate job barrier here.
+        .localCheckpoint(eager=False)
+    )
+
+    # Corpus side: ONE scan of the unified artifact (the OR of the two
+    # corpus predicates stays parquet-pushable), exploding each row's
+    # keys and keeping only the paths whose corpus the row belongs to.
+    ck = (
+        table.where(
+            (F.col("vec_id") < _RECALL_ALT_OFF)
+            | F.col("label").isin(0, _ANN_FILTER_LABEL)
+        )
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "pq",
+            (F.col("vec_id") < _RECALL_ALT_OFF).alias("_planted"),
+            F.col("label").isin(0, _ANN_FILTER_LABEL).alias("_filtered"),
+            F.explode(
+                F.concat(
+                    F.array(
+                        tagged("pq", F.col("cell")),
+                        tagged("flt", F.col("cell")),
+                    ),
+                    F.transform(
+                        band_keys(lsh_signature(planes, "v")),
+                        lambda k: tagged("lsh", k),
+                    ),
+                )
+            ).alias("tk"),
+        )
+        .where(
+            F.when(F.col("tk.tag") == "flt", F.col("_filtered")).otherwise(
+                F.col("_planted")
+            )
+        )
+        .select(
+            "vec_id", "v", "nrm", "pq",
+            F.col("tk.tag").alias("tag"), F.col("tk.key").alias("key"),
+        )
+    )
+
+    # One candidate meeting; cosine/ADC computed map-side so the single
+    # ranking shuffle carries only (tag, q_id, n_id, cos, adc).
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, j) -> acc + "
+        "lut[j][CAST(shiftright(pq, 4 * j) & 15 AS INT)])"
+    )
+    cand = (
+        ck.join(F.broadcast(pk), ["tag", "key"], "inner")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "tag",
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(
+                F.expr(_DOT.format(a="q_v", b="v"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                3,
+            ).alias("cos"),
+            F.when(F.col("tag") == "pq", adc).otherwise(F.lit(0.0)).alias(
+                "adc"
+            ),
+        )
+    )
+    # Two windows over the SAME partitioning = one exchange: the first
+    # is search_ivf_pq's ADC cut (pq rows only — others pass), the
+    # second every path's exact-cosine top-1 with the library tie-break.
+    w_adc = Window.partitionBy("tag", "q_id").orderBy(
+        F.col("adc").desc(), "n_id"
+    )
+    w_cos = Window.partitionBy("tag", "q_id").orderBy(
+        F.col("cos").desc(), "n_id"
+    )
+    top = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .where((F.col("tag") != "pq") | (F.col("_r") <= RERANK))
+        .withColumn("rn", F.row_number().over(w_cos))
+        .where(F.col("rn") == 1)
+        .select(
+            F.when(F.col("tag") == "pq", F.lit("ivfpq"))
+            .when(F.col("tag") == "lsh", F.lit("lsh"))
+            .otherwise(F.lit("ivf_filtered"))
+            .alias("path"),
+            "q_id",
+            "n_id",
+        )
+    )
     # the unified table already holds every possible n_id (base, clone,
     # alt) exactly once
     lookup = table.select(F.col("vec_id").alias("n_id"), "v", "nrm")
     return (
-        hits.join(probes, "q_id")
+        top.join(probes, "q_id")
         .join(lookup, "n_id")
         .select(
             "path",

@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Classic PySpark walks the Python stack on EVERY DataFrame op to
+        # enrich error messages with the user call site; across the plan-
+        # heavy query surface that is a measurable driver-side tax
+        # (~3 ms/op x thousands of ops per session). Error CONTENT is
+        # unchanged — only the "user code at file:line" origin decoration
+        # is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -119,7 +119,15 @@ def main():
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
-        rec = {}
+        # checked_at makes re-verification a COMMITTED diff: a rework
+        # that re-runs the gate refreshes its query's stamp in the same
+        # commit (VERDICT r10 item 3 — evidence freshness must live in
+        # the artifact, not in a judge re-run).
+        rec = {
+            "checked_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+        }
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
