@@ -178,7 +178,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    duck: dict[str, float] = {}
     total = 0.0
+    # INTERLEAVED protocol (VERDICT r10 item 6): each query's engine run
+    # and its DuckDB-oracle run are timed ADJACENTLY, so a host-speed
+    # wave (this machine's documented 2-4x swings) hits both sides of
+    # the per-query ratio roughly equally and cancels out of
+    # suite_ratio — timing the two suites in separate blocks let a wave
+    # land on one side only (r10's driver window read 2.22 while
+    # matched windows read 2.06 for this reason).
     for name, q in sorted(registry.items()):
         if name in SKIP:
             continue
@@ -200,6 +208,9 @@ def main() -> None:
             # up across the 70+-query session
             release_caches()
             spark.catalog.clearCache()
+        d = _time_duckdb_one(q)
+        if d is not None:
+            duck[name] = d
 
     def _safe(fn, *args):
         try:
@@ -209,7 +220,6 @@ def main() -> None:
 
     ingest = _safe(_bench_ingest, spark)
     wimport = _safe(_bench_whisper_import, spark)
-    duck = _bench_duckdb(registry)
 
     # Engine-vs-DuckDB ratios (>1 = engine slower), per query and suite-wide
     # over the comparable set (both sides timed, oracle not interrupted,
@@ -329,54 +339,52 @@ def _bench_whisper_import(spark) -> dict:
     }
 
 
-def _bench_duckdb(registry) -> dict[str, float]:
-    """Time each oracle on DuckDB (all cores) over the same parquet.
-    Long-running quadratic oracles are interrupted at the cap and reported
-    as -1 so the bench's wall-clock stays bounded."""
+def _time_duckdb_one(q) -> "float | None":
+    """Time one query's oracle on DuckDB (all cores) over the same
+    parquet — called right after the engine timing of the same query
+    (interleaved protocol). Connection + view setup stays untimed.
+    Long-running quadratic oracles are interrupted at the cap and
+    reported as -1 so the bench's wall-clock stays bounded."""
     import threading
 
     import duckdb
 
+    if q.oracle is None:
+        return None
     cap = float(os.environ.get("SPARK_GRAFT_DUCKDB_CAP", "120"))
     tables = (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split()
-    out: dict[str, float] = {}
-    for name, q in sorted(registry.items()):
-        if q.oracle is None or name in SKIP:
-            continue
-        # Prefer the scale-path twin when one exists (VERDICT r8 item
-        # 10): same answer (cross-checked vs the brute-force twin at
-        # sf0.01, tools/correctness_scale.json) via the candidate join,
-        # so the heavy dedup family gets a real DuckDB wall instead of
-        # the 120 s interrupt — and a fairer ratio (both engines run a
-        # candidate-join plan).
-        sql = q.oracle_scale or q.oracle
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {CPUS}")
-        for t in tables:
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
-            )
-        timer = threading.Timer(cap, con.interrupt)
-        timer.start()
-        t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-            out[name] = round(time.time() - t0, 3)
-        except duckdb.InterruptException:
-            out[name] = -1.0
-            print(f"# duckdb {name}: interrupted at {cap}s", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 — keep timing the rest
-            out[name] = -2.0
-            print(f"# duckdb {name}: ERROR {type(e).__name__}: {e}",
-                  file=sys.stderr)
-        finally:
-            timer.cancel()
-            con.close()
-    return out
+    # Prefer the scale-path twin when one exists (VERDICT r8 item
+    # 10): same answer (cross-checked vs the brute-force twin at
+    # sf0.01, tools/correctness_scale.json) via the candidate join,
+    # so the heavy dedup family gets a real DuckDB wall instead of
+    # the 120 s interrupt — and a fairer ratio (both engines run a
+    # candidate-join plan).
+    sql = q.oracle_scale or q.oracle
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {CPUS}")
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    timer = threading.Timer(cap, con.interrupt)
+    timer.start()
+    t0 = time.time()
+    try:
+        con.execute(sql).fetchall()
+        return round(time.time() - t0, 3)
+    except duckdb.InterruptException:
+        print(f"# duckdb {q.name}: interrupted at {cap}s", file=sys.stderr)
+        return -1.0
+    except Exception as e:  # noqa: BLE001 — keep timing the rest
+        print(f"# duckdb {q.name}: ERROR {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return -2.0
+    finally:
+        timer.cancel()
+        con.close()
 
 
 def _bench_ingest(spark) -> dict:
