@@ -205,3 +205,19 @@ def test_property_stream_union_equals_batch(spark, tmp_path, docs, splits, t):
         ).collect()
     }
     assert got == want
+
+
+def test_reingest_conflict_raises(spark, index):
+    """Append-only invariant guard (ADVICE r9; v2 reads the O(docs)
+    fingerprint table, not the posting store): re-ingesting a doc_id
+    with a DIFFERENT gram set raises before anything is written; a
+    byte-identical replay passes."""
+    index.process_batch(
+        _to_df(spark, [_doc(1, "a"), _doc(2, "b")]), batch_id=0
+    )
+    store_before = index.postings().count()
+    with pytest.raises(ValueError, match="different gram set"):
+        index.process_batch(_to_df(spark, [_doc(1, "CHANGED")]), batch_id=1)
+    assert index.postings().count() == store_before
+    index.process_batch(_to_df(spark, [_doc(1, "a")]), batch_id=2)  # replay
+    assert index.postings().count() == store_before
