@@ -20,10 +20,15 @@ micro-batch:
    the trailing mean of the PRIOR non-model batches (the model batch's
    own fit is optimistically biased — its rows are the training
    sample — so it anchors nothing), the corpus has moved away from the
-   trained centroids and ``drifted_batches()`` flags it for retrain
-   (the retrain itself is a batch-index rebuild, deliberately out of
-   band: an index that silently retrains mid-stream changes cell
-   geometry under its readers).
+   trained centroids and ``drifted_batches()`` flags it for retrain —
+   executed by the explicit ``retrain()`` operation (VERDICT r10 item
+   7): retrain the model on a bounded (optionally trailing) sample of
+   the store, map-side re-encode the whole store, publish both as the
+   next VERSION (the sidecar's ``ver`` row resolves the table path, so
+   the swap is crash-consistent), and reset the drift baseline.
+   Deliberately operator-triggered rather than a mid-stream side
+   effect: an index that silently retrains changes cell geometry under
+   its readers.
 
 Equivalence contract (pinned in tests/test_streaming_annindex.py):
 because assignment/encoding is deterministic given the model, the
@@ -71,7 +76,8 @@ _MODEL_SCHEMA = T.StructType(
 )
 
 _STATS_SCHEMA = (
-    "batch long, n_rows long, mean_assign_cos double, is_model_batch boolean"
+    "batch long, n_rows long, mean_assign_cos double, "
+    "is_model_batch boolean, ver int"
 )
 
 
@@ -98,6 +104,7 @@ class AnnIndexStore:
         self.stats_path = f"{self.path}/stats"
         self._model: tuple[list, list] | None = None
         self._model_batch: int | None = None
+        self._model_version: int | None = None
 
     # -- store ------------------------------------------------------------
     def _read_or_empty(self, path: str, schema) -> DataFrame:
@@ -133,6 +140,8 @@ class AnnIndexStore:
         ]
         meta = [r["i"] for r in rows if r["kind"] == "meta"]
         self._model_batch = meta[0] if meta else None
+        ver = [r["i"] for r in rows if r["kind"] == "ver"]
+        self._model_version = ver[0] if ver else 1
         self._model = (cents, books)
         return self._model
 
@@ -143,23 +152,42 @@ class AnnIndexStore:
         self.model()  # populate the cache
         return getattr(self, "_model_batch", None)
 
+    def model_version(self) -> int:
+        """The model sidecar's version — 1 for the first-trained model,
+        bumped by every ``retrain()``. The versioned table path derives
+        from it, so a crash between the re-encoded table write and the
+        sidecar write leaves the store consistently on the old version."""
+        self.model()  # populate the cache
+        return getattr(self, "_model_version", None) or 1
+
+    def _table_path(self, ver: "int | None" = None) -> str:
+        v = self.model_version() if ver is None else ver
+        return self.table_path if v <= 1 else f"{self.table_path}_v{v}"
+
+    _TABLE_SCHEMA = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("nrm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("pq", T.LongType()),
+            T.StructField("b", T.LongType()),  # admitting batch id
+        ]
+    )
+
+    def _table_raw(self) -> DataFrame:
+        """Current-version table incl. the admitting-batch column ``b``
+        (null on pre-r11 rows) — retrain's trailing sample reads it."""
+        return self._read_or_empty(
+            self._table_path(), self._TABLE_SCHEMA
+        ).dropDuplicates(["vec_id"])
+
     def table(self) -> DataFrame:
         """The searchable assigned corpus (vec_id, v, nrm, cell, pq) —
         the same columns ``ann.materialized_index`` writes. Replayed
         appends duplicate identical rows (the model is fixed), so any
         winner per vec_id is correct."""
-        schema = T.StructType(
-            [
-                T.StructField("vec_id", T.LongType()),
-                T.StructField("v", T.ArrayType(T.DoubleType())),
-                T.StructField("nrm", T.DoubleType()),
-                T.StructField("cell", T.IntegerType()),
-                T.StructField("pq", T.LongType()),
-            ]
-        )
-        return self._read_or_empty(self.table_path, schema).dropDuplicates(
-            ["vec_id"]
-        )
+        return self._table_raw().select("vec_id", "v", "nrm", "cell", "pq")
 
     def stats(self) -> DataFrame:
         return self._read_or_empty(
@@ -172,9 +200,17 @@ class AnnIndexStore:
         non-model batches — retrain flags. The model batch is excluded
         from the baseline (its rows are the training sample, so its fit
         is optimistically biased), and the first non-model batch
-        bootstraps the baseline unflagged."""
+        bootstraps the baseline unflagged. Only the CURRENT model
+        version's stats participate — a ``retrain()`` resets the
+        baseline (rows from the old geometry say nothing about the
+        new); pre-versioning rows (null ver) read as version 1."""
+        cur = self.model_version()
         rows = sorted(
-            (r for r in self.stats().collect()),
+            (
+                r
+                for r in self.stats().collect()
+                if (r["ver"] if r["ver"] is not None else 1) == cur
+            ),
             key=lambda r: r["batch"],
         )
         flagged: list[int] = []
@@ -225,13 +261,14 @@ class AnnIndexStore:
                 ("book", j, c, cw)
                 for j, bj in enumerate(books)
                 for c, cw in enumerate(bj)
-            ] + [("meta", int(batch_id), 0, [])]
+            ] + [("meta", int(batch_id), 0, []), ("ver", 1, 0, [])]
             # repartition(1), not coalesce(1): see ann.materialized_index
             self.spark.createDataFrame(
                 rows, schema=_MODEL_SCHEMA
             ).repartition(1).write.mode("overwrite").parquet(self.model_path)
             self._model = (cents, books)
             self._model_batch = int(batch_id)
+            self._model_version = 1
         else:
             cents, books = model
 
@@ -245,9 +282,9 @@ class AnnIndexStore:
         # table()'s dropDuplicates to pick a nondeterministic winner.
         # The check semi-joins the store against only this batch's ids,
         # so a normal only-adds-vectors batch compares an empty frame.
-        prev = self._read_or_empty(
-            self.table_path, enc.schema
-        ).join(enc.select("vec_id").distinct(), "vec_id", "left_semi")
+        prev = self._table_raw().join(
+            enc.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
         conflicts = [
             r["vec_id"]
             for r in prev.alias("s")
@@ -269,7 +306,9 @@ class AnnIndexStore:
                 "store is append-only; only byte-identical replays of an "
                 "existing vec_id are allowed (re-key changed vectors)"
             )
-        enc.write.mode("append").parquet(self.table_path)
+        enc.withColumn("b", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(self._table_path())
 
         # drift statistic over what was just written (reread the batch's
         # rows via the lineage — one tiny agg job, no store scan).
@@ -297,7 +336,82 @@ class AnnIndexStore:
             "n_rows",
             "mean_assign_cos",
             F.lit(is_model_batch).alias("is_model_batch"),
+            F.lit(self.model_version()).cast("int").alias("ver"),
         ).repartition(1).write.mode("append").parquet(self.stats_path)
+
+    # -- retrain -----------------------------------------------------------
+    def retrain(self, trailing_batches: "int | None" = None) -> int:
+        """The drift trigger's completion (VERDICT r10 item 7): retrain
+        the IVF centroids + PQ codebooks on a bounded sample of the
+        store, re-encode the WHOLE store against the new model with the
+        same map-side assign+encode pass the batch index uses, and
+        publish both as version ``current + 1``.
+
+        Deliberately an EXPLICIT operation, not a mid-stream side
+        effect: retraining changes cell geometry under the index's
+        readers, so the operator runs it when ``drifted_batches()``
+        flags (pause stream → retrain → resume, or between triggers).
+
+        - ``trailing_batches``: sample only rows admitted by the most
+          recent N batches (the drift is recent by definition); None
+          samples the whole store. Either way the training collect is
+          bounded by ``ann.sample_units``'s cap.
+        - Crash-safety: the re-encoded table is written to the NEW
+          version's path first; the model sidecar (whose ``ver`` row is
+          what readers resolve the table path through) is replaced
+          last, so a crash in between leaves the store consistently on
+          the old version and a rerun regenerates deterministically.
+        - The drift baseline resets: stats rows carry the model version
+          and ``drifted_batches()`` only reads the current version's.
+
+        Returns the new version number.
+        """
+        from hoard_spark.ann import (
+            assign_cells,
+            encode_pq,
+            sample_units,
+            train_centroids,
+            train_pq_codebooks,
+        )
+
+        tab = self._table_raw().persist()
+        try:
+            if tab.limit(1).count() == 0:
+                raise ValueError("AnnIndexStore.retrain: empty store")
+            sub = tab
+            if trailing_batches is not None:
+                max_b = tab.agg(F.max("b")).first()[0] or 0
+                sub = tab.where(
+                    F.coalesce(F.col("b"), F.lit(0))
+                    > max_b - int(trailing_batches)
+                )
+            n = sub.select("vec_id", "v", "nrm")
+            X = sample_units(n)
+            cents = train_centroids(n, k=self.k, X=X)
+            books = train_pq_codebooks(n, m=self.m, ks=self.ks, X=X)
+            new_ver = self.model_version() + 1
+            # map-side re-encode of the full store against the NEW model
+            # (drop the old cell/pq, keep the admitting batch id)
+            encode_pq(
+                assign_cells(tab.select("vec_id", "v", "nrm", "b"), cents),
+                books,
+            ).select("vec_id", "v", "nrm", "cell", "pq", "b").write.mode(
+                "overwrite"
+            ).parquet(self._table_path(new_ver))
+        finally:
+            tab.unpersist()
+        rows = [("cent", i, 0, v) for i, v in cents] + [
+            ("book", j, c, cw)
+            for j, bj in enumerate(books)
+            for c, cw in enumerate(bj)
+        ] + [("meta", -1, 0, []), ("ver", new_ver, 0, [])]
+        self.spark.createDataFrame(
+            rows, schema=_MODEL_SCHEMA
+        ).repartition(1).write.mode("overwrite").parquet(self.model_path)
+        self._model = (cents, books)
+        self._model_batch = -1
+        self._model_version = new_ver
+        return new_ver
 
     # -- streaming wiring -------------------------------------------------
     def sink(self, stream_vecs: DataFrame, checkpoint: str):
