@@ -24,11 +24,14 @@ raises a clear error directing the user to ``propagate()`` (the engine
 API falls back to the Spark plan instead; a SQL-only caller should not
 silently trigger a cluster-sized recompute from a table function).
 
-Like the engine's control plane (catalog / seq / layout JSONs), paths
-resolve with driver-local semantics; executors in ``local[*]`` (and any
-cluster whose warehouse is on a shared mount) see the same files. An
-object-store warehouse would swap the ``os`` walks for ``pyarrow.fs``
-— declared, not needed for the local contract.
+DATA-PLANE IO (tier-root checks, date-dir listings, sidecar JSONs,
+parquet reads) goes through ``pyarrow.fs`` resolved from the warehouse
+URI (VERDICT r10 stretch 9) — plain paths and ``file:`` URIs get the
+LocalFileSystem, any other scheme whatever ``FileSystem.from_uri``
+supports — so the fetch itself is object-store-ready. The CONTROL
+plane (the catalog JSON, read through ``Catalog``) keeps the engine's
+driver-local contract: a fully remote warehouse still needs its catalog
+on a local/shared mount, the same declared limitation the engine has.
 """
 
 from __future__ import annotations
@@ -47,15 +50,44 @@ from hoard_spark.fsutil import strip_local_uri
 _SAFE_PART_RE = re.compile(r"[A-Za-z0-9._-]+\Z")
 
 
-def _list_date_files(base: str, dates: list[str]) -> list[str]:
+def _resolve_fs(warehouse_dir: str):
+    """(pyarrow filesystem, scheme-free root path) for the warehouse."""
+    from pyarrow import fs as pafs
+
+    local = strip_local_uri(warehouse_dir)
+    if local is not None:
+        return pafs.LocalFileSystem(), os.path.abspath(local)
+    return pafs.FileSystem.from_uri(warehouse_dir)
+
+
+def _fs_isdir(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type == pafs.FileType.Directory
+
+
+def _fs_exists(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def _fs_read_json(fs, path: str):
+    with fs.open_input_stream(path) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _list_date_files(fs, base: str, dates: list[str]) -> list[str]:
+    from pyarrow import fs as pafs
+
     files: list[str] = []
     for d in dates:
-        dirp = os.path.join(base, f"date={d}")
-        if not os.path.isdir(dirp):
-            continue
-        for e in os.scandir(dirp):
-            if e.is_file() and e.name.endswith(".parquet"):
-                files.append(e.path)
+        sel = pafs.FileSelector(f"{base}/date={d}", allow_not_found=True)
+        for info in fs.get_file_info(sel):
+            if info.type == pafs.FileType.File and info.path.endswith(
+                ".parquet"
+            ):
+                files.append(info.path)
     return files
 
 
@@ -72,25 +104,26 @@ def python_fetch(
     info = Catalog(ctl).info(metric)
     archive, ti = plan_fetch(info, int(from_ts), int(to_ts), now)
     tier = archive.tier
+    fs, fsroot = _resolve_fs(warehouse_dir)
 
-    layout_path = os.path.join(ctl, "_hoard_layout.json")
+    layout_path = f"{fsroot}/_hoard_layout.json"
     metric_buckets = None
-    if os.path.exists(layout_path):
-        with open(layout_path) as f:
-            metric_buckets = json.load(f).get("metric_buckets")
+    if _fs_exists(fs, layout_path):
+        metric_buckets = _fs_read_json(fs, layout_path).get(
+            "metric_buckets"
+        )
 
     if tier > 0:
         materialized = False
-        mat_path = os.path.join(ctl, "_hoard_materialized.json")
-        if os.path.exists(mat_path):
-            with open(mat_path) as f:
-                materialized = f"{tier}:{metric}" in set(json.load(f))
+        mat_path = f"{fsroot}/_hoard_materialized.json"
+        if _fs_exists(fs, mat_path):
+            materialized = f"{tier}:{metric}" in set(
+                _fs_read_json(fs, mat_path)
+            )
         if not materialized and not metric_buckets:
             # legacy unbucketed warehouses predate the marker file
-            materialized = os.path.isdir(
-                os.path.join(
-                    ctl, "rollups", f"tier={tier}", f"metric={metric}"
-                )
+            materialized = _fs_isdir(
+                fs, f"{fsroot}/rollups/tier={tier}/metric={metric}"
             )
         if not materialized:
             raise HoardError(
@@ -105,7 +138,7 @@ def python_fetch(
             "escaping — fetch it through the engine API"
         )
 
-    root = os.path.join(ctl, "points" if tier == 0 else "rollups")
+    root = f"{fsroot}/" + ("points" if tier == 0 else "rollups")
     mid = (
         f"mb={zlib.crc32(metric.encode('utf-8')) % metric_buckets}"
         if metric_buckets
@@ -118,7 +151,7 @@ def python_fetch(
     while d <= hi_d:
         dates.append(d.isoformat())
         d += timedelta(days=1)
-    files = _list_date_files(os.path.join(root, f"tier={tier}", mid), dates)
+    files = _list_date_files(fs, f"{root}/tier={tier}/{mid}", dates)
 
     if not files and info.last_update > 0:
         # Backstop (ADVICE r10): the engine's fast path falls back to the
@@ -132,8 +165,8 @@ def python_fetch(
         # the path is misresolving and the fetch must fail loudly, not
         # return an all-NULL spine. A present root with no files for the
         # window's dates is a genuinely empty window (NULLs are correct).
-        tier_root = os.path.join(root, f"tier={tier}")
-        if not os.path.isdir(tier_root):
+        tier_root = f"{root}/tier={tier}"
+        if not _fs_isdir(fs, tier_root):
             raise HoardError(
                 f"hoard_fetch: metric '{metric}' has writes (lastUpdate="
                 f"{info.last_update}) but the tier store directory "
@@ -149,7 +182,7 @@ def python_fetch(
     # are unique per bucket already
     best: dict[int, tuple[int, float | None]] = {}
     for fpath in files:
-        pf = pq.ParquetFile(fpath)
+        pf = pq.ParquetFile(fs.open_input_file(fpath))
         phys = {c.name for c in pf.schema_arrow}
         want = [
             c for c in ("metric", "bucket_ts", "value", "seq") if c in phys

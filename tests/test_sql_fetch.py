@@ -197,3 +197,32 @@ def test_sql_fetch_misresolved_store_raises_not_nulls(spark, engine):
         python_fetch(
             engine.warehouse_dir, "written", base - 45, base - 15, now
         )
+
+
+@pytest.mark.skipif(not os.path.exists(TSDATA_JSON), reason="fixture missing")
+def test_sql_fetch_through_file_uri_pyarrow_fs(spark, engine):
+    """Object-store-readiness pin (VERDICT r10 stretch 9): the G4 golden
+    stays green when the UDTF's warehouse root is a ``file://`` URI —
+    the data-plane listings/reads resolve through pyarrow.fs, not os
+    walks. Also pins the misresolution backstop through the same path."""
+    import shutil
+
+    points = read_tsdata()
+    now = max(ts for ts, _ in points)
+    engine.create("lots", LARGE, x_files_factor=0.5)
+    engine.update_many("lots", points, now=now, propagate=False)
+
+    uri = "file://" + engine.warehouse_dir
+    ti, values = python_fetch(uri, "lots", 1311277105, 1311295105, now)
+    assert values == [1043, 3946, 1692, 899, 2912]
+    assert (ti.from_interval, ti.to_interval, ti.step) == (
+        1311278400, 1311296400, 3600,
+    )
+    register_sql_fetch(spark, uri)
+    assert _expect_equal(
+        spark, engine, "lots", 1311277105, 1311295105, now
+    ) == [1043, 3946, 1692, 899, 2912]
+
+    shutil.rmtree(os.path.join(engine.warehouse_dir, "points"))
+    with pytest.raises(HoardError, match="not resolving"):
+        python_fetch(uri, "lots", 1311277105, 1311295105, now)
