@@ -1,0 +1,165 @@
+"""Heavy-family scaling run, one MORE decade out: sf1 -> sf10
+(VERDICT r10 stretch 8).
+
+The 100 TB claim previously rested on one genuine 10x decade
+(tools/bench_heavy_sf1.json: sf0.1 -> sf1) plus plan shapes; this runs
+the same dedup/ANN/ingest family at a genuine-cardinality sf10 corpus
+(tools/gen_sf1.py with SCALE=10 — 500k docs / 10M events / 200k
+vectors, same distributions, fresh draws) and records the sf10/sf1
+slope per stage. Pass bar ~10x (linear) per decade.
+
+Known exclusion, carried from the sf1 diagnosis: q90's width-3 top-k
+ladder is superlinear ON THIS CORPUS because the testdata's closed
+31-word vocabulary saturates the 3-gram domain (~30k shapes) — df
+grows with N and the prefix join's sum(df_prefix^2) candidate count
+grows ~N^2. That is a property of the synthetic vocabulary, not the
+plan (the width-5 control, whose domain is ~28.6M, is the declared
+scale path and IS run here); extrapolating the measured sf1 slope puts
+the width-3 run at ~40 min of wall for a number we already understand,
+so it is skipped with this note instead of silently.
+
+Usage: python tools/bench_heavy_sf10.py   (regenerates corpora if absent)
+Writes tools/bench_heavy_sf10.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/hoard_sf1")
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/hoard_sf10")
+
+HEAVY = [
+    "q35_minhash_neardup",
+    "q51_dedup_clusters",
+    "q79_simjoin_threshold",
+    "q91_ann_ivfpq",
+    "q95_ngram_novelty",
+]
+
+
+def main() -> None:
+    if not os.path.isdir(SF1):
+        subprocess.run(
+            [sys.executable, str(REPO / "tools" / "gen_sf1.py"), SF1],
+            check=True,
+        )
+    if not os.path.isdir(SF10):
+        subprocess.run(
+            [
+                sys.executable,
+                str(REPO / "tools" / "gen_sf1.py"),
+                SF10,
+                "10",
+                "--no-relational",
+            ],
+            check=True,
+        )
+
+    from pyspark.sql import functions as F
+
+    from hoard_spark.queries import all_queries, load, release_caches
+    from hoard_spark.queries.llm import (
+        _TOPK_K,
+        _TOPK_OFFSET,
+        _TOPK_SUFFIX,
+        shingle_rows_of,
+    )
+    from hoard_spark.session import get_spark
+    from hoard_spark.simjoin import topk_similar_pairs
+
+    # reuse bench_heavy_sf1's ingest micro-batch shape
+    from tools.bench_heavy_sf1 import bench_ingest
+
+    spark = get_spark(app_name="bench-heavy-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = all_queries()
+
+    def topk_5gram_control(sf_dir: str):
+        docs = load(spark, sf_dir, "documents")
+        clones = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(_TOPK_OFFSET)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_TOPK_SUFFIX)).alias("text"),
+            "lang",
+            "source",
+        )
+        aug = docs.select("doc_id", "text", "lang", "source").unionByName(
+            clones
+        )
+        sh = shingle_rows_of(aug, width=5).select("doc_id", "s")
+        return topk_similar_pairs(sh, _TOPK_K, ladder=(0.7, 0.5))
+
+    # canary: host-wave context (same probe as bench_streaming_sf1)
+    docs1 = spark.read.parquet(f"{SF1}/documents.parquet")
+    t0 = time.time()
+    docs1.groupBy(F.col("doc_id") % 97).count().collect()
+    canary = round(time.time() - t0, 3)
+
+    # Fresh artifact store per run: the cluster/ANN artifact BUILDS are
+    # the scaling-relevant cost, not warm reads.
+    art_dir = tempfile.mkdtemp(prefix="hoard_sf10_artifacts_")
+    os.environ["HOARD_SPARK_ARTIFACTS"] = art_dir
+
+    out: dict = {
+        "sf_dirs": {"sf1": SF1, "sf10": SF10},
+        "canary_groupby_sec": canary,
+        "stages": {},
+    }
+    for sf_name, sf_dir in (("sf1", SF1), ("sf10", SF10)):
+        for qname in HEAVY:
+            t0 = time.time()
+            n = reg[qname].spark_fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            release_caches()
+            spark.catalog.clearCache()
+            out["stages"].setdefault(qname, {})[sf_name] = {
+                "sec": dt,
+                "rows": n,
+            }
+            print(f"{sf_name} {qname}: {dt}s ({n} rows)", flush=True)
+        t0 = time.time()
+        n = topk_5gram_control(sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        release_caches()
+        spark.catalog.clearCache()
+        out["stages"].setdefault("q90_width5_control", {})[sf_name] = {
+            "sec": dt,
+            "rows": n,
+        }
+        print(f"{sf_name} q90_width5_control: {dt}s ({n} rows)", flush=True)
+        out["stages"].setdefault("ingest", {})[sf_name] = bench_ingest(
+            spark, sf_dir
+        )
+        print(
+            f"{sf_name} ingest: {out['stages']['ingest'][sf_name]}",
+            flush=True,
+        )
+
+    for stage, runs in out["stages"].items():
+        a, b = runs["sf1"]["sec"], runs["sf10"]["sec"]
+        runs["slope_10x"] = round(b / a, 2) if a > 0 else None
+    out["notes"] = (
+        "Second genuine decade (sf1 -> sf10) for the dedup/ANN/ingest "
+        "family; slope bar ~10x per decade. q90's width-3 ladder is "
+        "excluded by design — the closed 31-word synthetic vocabulary "
+        "saturates the 3-gram domain and its sum(df^2) candidate cost "
+        "is ~N^2 regardless of plan (diagnosed at sf1; the width-5 "
+        "control run here is the declared scale path for saturated "
+        "gram domains)."
+    )
+    path = REPO / "tools" / "bench_heavy_sf10.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

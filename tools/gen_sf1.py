@@ -25,9 +25,17 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hoard_sf1"
-N_DOCS = 50_000
-N_EVENTS = 1_000_000
-N_VECS = 20_000
+# SCALE multiplies every cardinality (VERDICT r10 stretch 8: the sf10
+# decade is SCALE=10 of this generator — same distributions, 100x the
+# driver's sf0.1). --no-relational skips the TPC-H-ish tables (the
+# heavy dedup/ANN/ingest family reads only documents/events/embeddings,
+# and 60M lineitem rows would dominate generation time for nothing).
+SCALE = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+SKIP_RELATIONAL = "--no-relational" in sys.argv
+N_DOCS = 50_000 * SCALE
+N_EVENTS = 1_000_000 * SCALE
+N_VECS = 20_000 * SCALE
+N_USERS = 15_000 * SCALE
 DIM = 64
 
 # Relational (TPC-H-ish) tables at 10x sf0.1 — VERDICT r8 item 6 wants
@@ -37,11 +45,11 @@ DIM = 64
 # halves for l_linestatus, 0.01-step discounts, integer quantities
 # 1-50, uniform dates over the same spans, keys uniform over the parent
 # domain); region/nation are fixed dimension tables copied verbatim.
-N_CUST = 150_000
-N_SUPP = 10_000
-N_PART = 200_000
-N_ORDERS = 1_500_000
-N_LINES = 6_000_000
+N_CUST = 150_000 * SCALE
+N_SUPP = 10_000 * SCALE
+N_PART = 200_000 * SCALE
+N_ORDERS = 1_500_000 * SCALE
+N_LINES = 6_000_000 * SCALE
 
 VOCAB = np.array(
     """spark window merge table column vector stream value batch part line
@@ -98,7 +106,7 @@ def gen_events(rng: np.random.Generator) -> pa.Table:
             "event_id": pa.array(np.arange(N_EVENTS), pa.int64()),
             "ts": pa.array(ts),
             "user_id": pa.array(
-                rng.integers(0, 15_000, size=N_EVENTS), pa.int64()
+                rng.integers(0, N_USERS, size=N_EVENTS), pa.int64()
             ),
             "event_type": pa.array(types),
             "value": pa.array(rng.uniform(0, 100, size=N_EVENTS)),
@@ -246,14 +254,15 @@ def main() -> None:
     pq.write_table(gen_documents(rng), f"{OUT}/documents.parquet")
     pq.write_table(gen_events(rng), f"{OUT}/events.parquet")
     pq.write_table(gen_embeddings(rng), f"{OUT}/embeddings.parquet")
-    for name, tbl in gen_relational(rng).items():
-        pq.write_table(tbl, f"{OUT}/{name}.parquet")
-    # fixed dimension tables: identical at every SF — copy verbatim
-    for name in ("region", "nation"):
-        pq.write_table(
-            pq.read_table(f"/root/testdata/sf0.1/{name}.parquet"),
-            f"{OUT}/{name}.parquet",
-        )
+    if not SKIP_RELATIONAL:
+        for name, tbl in gen_relational(rng).items():
+            pq.write_table(tbl, f"{OUT}/{name}.parquet")
+        # fixed dimension tables: identical at every SF — copy verbatim
+        for name in ("region", "nation"):
+            pq.write_table(
+                pq.read_table(f"/root/testdata/sf0.1/{name}.parquet"),
+                f"{OUT}/{name}.parquet",
+            )
     print(
         f"wrote {OUT}: {N_DOCS} docs, {N_EVENTS} events, {N_VECS} vecs, "
         f"{N_CUST} cust, {N_SUPP} supp, {N_PART} part, {N_ORDERS} orders, "
