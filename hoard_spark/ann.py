@@ -185,8 +185,17 @@ def search_ivf(
     popular neighborhood fails the predicate)."""
     from pyspark.sql import Window
 
+    from hoard_spark.queries import spread_by_stats
+
     if where is not None:
         assigned = assigned.where(where)
+    # fan a narrow artifact scan across cores BEFORE the broadcast
+    # candidate join: the join multiplies rows ~(nprobe/k) x probes, and
+    # the WindowGroupLimit partial sort that follows runs inside the
+    # SCAN's tasks — a single-split corpus file serializes a
+    # hundreds-of-millions-row sort on one core (measured: the q91 sf10
+    # straggler). No-op when the scan is already wide.
+    assigned = spread_by_stats(assigned)
     probes = (
         queries.withColumn(
             "sims",
@@ -438,6 +447,8 @@ def search_ivf_pq(
     """
     from pyspark.sql import Window
 
+    from hoard_spark.queries import spread_by_stats
+
     if where is not None:
         assigned_pq = assigned_pq.where(where)
     m = len(books)
@@ -465,13 +476,18 @@ def search_ivf_pq(
     w_adc = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), "n_id"
     )
+    # The ADC ranking shuffle carries ONLY (q_id, n_id, adc) — 24 bytes
+    # per candidate. Carrying q_v/q_nrm through this exchange (the
+    # pre-r11 shape) multiplied the candidate shuffle ~20x (512 B/row)
+    # and turned the window into a straggler at sf10 cardinalities
+    # (~600M candidate rows); the query vectors re-attach to the
+    # BOUNDED rerank set (queries x rerank rows) by broadcast below.
     cand = (
-        assigned_pq.select("vec_id", "cell", "pq")
+        spread_by_stats(assigned_pq.select("vec_id", "cell", "pq"))
         .join(F.broadcast(probes), "cell", "inner")
         .where(F.col("q_id") != F.col("vec_id"))
         .select(
-            "q_id", "q_v", "q_nrm", F.col("vec_id").alias("n_id"),
-            adc.alias("adc"),
+            "q_id", F.col("vec_id").alias("n_id"), adc.alias("adc")
         )
         .withColumn("_r", F.row_number().over(w_adc))
         .where(F.col("_r") <= rerank)
@@ -482,6 +498,9 @@ def search_ivf_pq(
     return (
         n.select(F.col("vec_id").alias("n_id"), "v", "nrm")
         .join(F.broadcast(cand), "n_id", "inner")
+        .join(
+            F.broadcast(queries.select("q_id", "q_v", "q_nrm")), "q_id"
+        )
         .select(
             "q_id",
             "n_id",
@@ -611,6 +630,8 @@ def search_lsh(
     """
     from pyspark.sql import Window
 
+    from hoard_spark.queries import spread_by_stats
+
     if where is not None:
         n = n.where(where)
     if dim is None:
@@ -628,6 +649,9 @@ def search_lsh(
         dim = len(row["v"])
     planes = hyperplanes(dim, h=h, seed=seed)
     band_bits = h // bands
+    # see search_ivf: parallelize the signature + band explode + join
+    # beyond the corpus file's split count
+    n = spread_by_stats(n)
     corpus = n.select(
         "vec_id", "v", "nrm",
         F.explode(

@@ -121,6 +121,38 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_by_stats(df: DataFrame) -> DataFrame:
+    """``spread`` for JOB-FREE plan construction paths.
+
+    ``spread`` asks the RDD for its partition count, which under AQE can
+    fire jobs during plan construction — forbidden on surfaces pinned to
+    zero-job construction (tests/test_ann.py). This variant estimates
+    the scan's split count from the optimizer's size statistics (file
+    size / maxPartitionBytes — available without touching execution)
+    and repartitions only when the estimate is below the core count.
+    Unknown/huge statistics (in-memory relations, joins) estimate many
+    splits and correctly no-op: the hazard this guards is specifically
+    the narrow SINGLE-FILE scan feeding a row-multiplying join."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        )
+        try:
+            max_pb = int(raw.rstrip("bB"))
+        except ValueError:
+            max_pb = 128 << 20
+        if size // max(max_pb, 1) + 1 < target:
+            return df.repartition(target)
+    except Exception:  # noqa: BLE001 — stats probe must never break a plan
+        pass
+    return df
+
+
 def dround(col: Column, n: int = 4) -> Column:
     """Boundary-stable ROUND for decimal-ish doubles.
 

@@ -1417,10 +1417,14 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     # Corpus side: ONE scan of the unified artifact (the OR of the two
     # corpus predicates stays parquet-pushable), exploding each row's
     # keys and keeping only the paths whose corpus the row belongs to.
+    from hoard_spark.queries import spread_by_stats
+
     ck = (
-        table.where(
-            (F.col("vec_id") < _RECALL_ALT_OFF)
-            | F.col("label").isin(0, _ANN_FILTER_LABEL)
+        spread_by_stats(
+            table.where(
+                (F.col("vec_id") < _RECALL_ALT_OFF)
+                | F.col("label").isin(0, _ANN_FILTER_LABEL)
+            )
         )
         .select(
             "vec_id",

@@ -80,6 +80,10 @@ def main() -> None:
     # reuse bench_heavy_sf1's ingest micro-batch shape
     from tools.bench_heavy_sf1 import bench_ingest
 
+    # sf10 broadcast builds (e.g. q35's ~16M-row band table under a
+    # compressed-size estimate) exceed the 8g default driver — use the
+    # same 24g the sf0.1 bench session runs with
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="bench-heavy-sf10")
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_queries()
