@@ -299,29 +299,6 @@ def train_pq_codebooks(
     return books
 
 
-def _subspace_slices(dim: int, m: int) -> "list[tuple[int, int]]":
-    d = dim // m
-    return [(j * d + 1, d) for j in range(m)]  # 1-based for SQL slice()
-
-
-def _lit_book(book: "list[list[float]]") -> Column:
-    """Codebook as a literal array<array<double>> column — one parsed
-    SQL string per book (see ``_lit_vec`` for the exact-round-trip
-    argument; builder-API fallback for non-finite values)."""
-    if not all(math.isfinite(x) for cw in book for x in cw):
-        return F.array(
-            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in book]
-        )
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in cw) + ")"
-            for cw in book
-        )
-        + ")"
-    )
-
-
 def encode_pq(
     n: DataFrame, books: "list[list[list[float]]]"
 ) -> DataFrame:
@@ -329,33 +306,58 @@ def encode_pq(
     codes). Pure map-side projection over literal codebooks — the same
     no-corpus-shuffle shape as ``assign_cells``; the index build rides
     the parquet scan. Codes quantize the UNIT vector, so ADC inner
-    products approximate cosine directly."""
-    m, ks, d = len(books), len(books[0]), len(books[0][0])
-    dim = m * d
+    products approximate cosine directly.
+
+    ONE nested transform over the 3-level literal codebook cube + one
+    fold (two lambdas in the plan instead of m per-book trees — the
+    same collapse as ``pq_lut``; plan construction and generated-code
+    size are real per-build driver costs). Bit-identical to the
+    per-book form: per subspace j ascending, argmin of the same
+    left-to-right squared-distance fold with the same first-match
+    (lowest-code) tiebreak, packed with the same shiftleft-sum."""
+    m, d = len(books), len(books[0][0])
     unit = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
-    code_cols = []
-    for j, (off, _) in enumerate(_subspace_slices(dim, m)):
-        sub = F.slice(unit, off, d)
-        # argmin ||u_j - cw||^2, first-match tiebreak = lowest code
-        dists = F.transform(
-            _lit_book(books[j]),
-            lambda cw: F.aggregate(
-                F.zip_with(cw, sub, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, p: acc + p,
-            ),
-        )
-        code_cols.append(
-            F.shiftleft(
-                (
-                    F.array_position(dists, F.array_min(dists)) - 1
-                ).cast("long"),
-                4 * j,
-            )
-        )
-    packed = code_cols[0]
-    for c in code_cols[1:]:
-        packed = packed + c
+    shifted = F.transform(
+        _lit_cube(books),
+        lambda bj, j: F.call_function(
+            "shiftleft",
+            (
+                F.array_position(
+                    F.transform(
+                        bj,
+                        lambda cw: F.aggregate(
+                            F.zip_with(
+                                cw,
+                                F.slice(unit, j * d + 1, d),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, p: acc + p,
+                        ),
+                    ),
+                    F.array_min(
+                        F.transform(
+                            bj,
+                            lambda cw: F.aggregate(
+                                F.zip_with(
+                                    cw,
+                                    F.slice(unit, j * d + 1, d),
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, p: acc + p,
+                            ),
+                        )
+                    ),
+                )
+                - 1
+            ).cast("long"),
+            j * 4,
+        ),
+    )
+    packed = F.aggregate(
+        shifted, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
     return n.withColumn("pq", packed)
 
 

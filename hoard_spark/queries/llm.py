@@ -735,14 +735,22 @@ def _sample_units(n: DataFrame, sample: int = 4096):
     Fast path: vec_ids are dense from 0 in this corpus, so a pushed-down
     range predicate selects the identical sample while parquet row-group
     stats prune the scan (vs sorting the full table). Falls back to the
-    global sort-limit if the id space turns out sparse."""
+    global sort-limit if the id space turns out sparse.
+
+    The collected plan carries only (vec_id, v): the norm fold and the
+    unit division run DRIVER-side over the collected rows with the same
+    left-to-right IEEE-754 operations the JVM expressions used
+    (``acc + x*x`` ascending, then ``sqrt``, then per-element ``/``) —
+    bit-identical units, so the trained model (and every artifact keyed
+    on it) is unchanged, while the collect job drops the per-row
+    aggregate/transform codegen it used to pay."""
+    import math
+
     import numpy as np
 
     def _lowest(src: DataFrame) -> list:
         return (
-            src.select(
-                "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
-            )
+            src.select("vec_id", "v")
             .orderBy("vec_id")
             .limit(sample)
             .collect()
@@ -751,7 +759,15 @@ def _sample_units(n: DataFrame, sample: int = 4096):
     rows = _lowest(n.where(F.col("vec_id") < sample))
     if len(rows) < sample:  # sparse id space (or corpus < sample): the
         rows = _lowest(n)  # global sort-limit is the exact definition
-    return np.array([r["u"] for r in rows], dtype=np.float64)  # (m, dim)
+    out = []
+    for r in rows:
+        v = r["v"]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        out.append([x / nrm for x in v])
+    return np.array(out, dtype=np.float64)  # (m, dim)
 
 
 def _kmeans_centroids(
