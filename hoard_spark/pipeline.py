@@ -75,7 +75,7 @@ def neardup_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
 
 
 def cluster_assignments(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, driver_max_edges: int = 500_000
 ) -> DataFrame:
     """Connected components over a pair graph: min-label propagation with
     pointer doubling.
@@ -84,6 +84,15 @@ def cluster_assignments(
     doc that appears in at least one pair; cluster_id = min doc_id of
     the component (deterministic, engine-independent — the fixpoint is
     unique regardless of iteration schedule).
+
+    Small-graph fast path: near-dup pair graphs are usually TINY next
+    to their corpus (the sf0.1 corpus yields 256 pairs), and every
+    pointer-doubling round costs ~3 Spark jobs — for a bounded edge
+    count the whole problem collapses to one collect + driver-side
+    union-find producing the identical min-label fixpoint. The cap is
+    the same capped-collect-with-distributed-fallback discipline as the
+    engine's fetch fast path: over ``driver_max_edges`` (or with the
+    cap set <= 0) the fully distributed rounds below run unchanged.
 
     Each round combines one hop of neighbor-min propagation with a label
     shortcut ``l <- min(l, l(l(v)))`` (labels are always node ids of the
@@ -102,6 +111,41 @@ def cluster_assignments(
     checkpoint dir and swap in reliable ``checkpoint()`` (same shape —
     GraphFrames checkpoints its CC every few rounds for the same reason).
     """
+    if driver_max_edges > 0:
+        head = pairs.select("a_id", "b_id").limit(
+            driver_max_edges + 1
+        ).collect()
+        if len(head) <= driver_max_edges:
+            # union-find with path compression + union-by-min: the root
+            # of each set is its minimum member, so find(v) IS the
+            # min-label fixpoint the distributed rounds converge to
+            parent: dict = {}
+
+            def find(v):
+                r = v
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(v, v) != v:
+                    parent[v], v = r, parent[v]
+                return r
+
+            for row in head:
+                a, b = find(row["a_id"]), find(row["b_id"])
+                if a != b:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            out = sorted(
+                {
+                    v
+                    for row in head
+                    for v in (row["a_id"], row["b_id"])
+                }
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(int(v), int(find(v))) for v in out],
+                "doc_id long, cluster_id long",
+            )
+
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(

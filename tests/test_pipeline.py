@@ -243,3 +243,26 @@ def test_artifact_invalidated_when_corpus_changes(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(sf / "documents.parquet"))
     key2 = corpus_fingerprint(str(sf), ("documents",))
     assert key1 != key2
+
+
+def test_cc_driver_fast_path_equals_distributed(spark):
+    """The bounded union-find fast path must produce exactly the
+    distributed pointer-doubling fixpoint — chains (multi-hop label
+    travel), merging components, and singleton-pair graphs."""
+    rows = (
+        # a 7-node chain ingested in arbitrary order
+        [(6, 5), (1, 2), (3, 4), (2, 3), (5, 4), (7, 6)]
+        # a separate triangle + an isolated pair
+        + [(10, 11), (11, 12), (10, 12), (20, 21)]
+    )
+    pairs = spark.createDataFrame(rows, "a_id long, b_id long")
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_assignments(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_assignments(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {1, 10, 20}
