@@ -18,6 +18,7 @@ top-k ties broken by a unique key; identical aliases on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -82,7 +83,54 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
     exact integer arithmetic — ``timestamp_micros(ts DIV 1000)`` — rather
     than a double division, which would lose precision at 1.7e18 ns.
+
+    MEMOIZED per (SparkContext, corpus dir, table, file stamp):
+    ``spark.read.parquet`` pays driver-side file listing + parquet
+    footer/schema resolution on EVERY call (~80 ms here), and the
+    conformance suite issues a few hundred of them — ~15 s of the
+    suite's wall was this one fixed cost, invisible in any executor
+    metric. DataFrames are immutable and lazy, so handing every caller
+    the same object is value-safe; the (mtime, size) stamp in the key
+    keeps a REGENERATED corpus at the same path from serving a stale
+    file listing (the listing is frozen inside the plan's file index),
+    matching the artifact layer's fingerprint discipline. Non-local
+    (URI) corpora bypass the memo — a remote stat per call would just
+    move the cost around.
     """
+    key = None
+    if "://" not in sf_dir:
+        path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+        try:
+            st = os.stat(path)
+            stamp = (st.st_mtime_ns, st.st_size)
+            if os.path.isdir(path):
+                with os.scandir(path) as it:
+                    kids = [e.stat() for e in it]
+                stamp = (
+                    st.st_mtime_ns,
+                    len(kids),
+                    sum(k.st_size for k in kids),
+                    max((k.st_mtime_ns for k in kids), default=0),
+                )
+        except OSError:
+            stamp = None
+        if stamp is not None:
+            key = (spark.sparkContext.applicationId, path, stamp)
+            hit = _LOAD_MEMO.get(key)
+            if hit is not None:
+                return hit
+    df = _load_uncached(spark, sf_dir, name)
+    if key is not None:
+        if len(_LOAD_MEMO) > 256:
+            _LOAD_MEMO.clear()
+        _LOAD_MEMO[key] = df
+    return df
+
+
+_LOAD_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
