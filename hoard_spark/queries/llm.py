@@ -24,6 +24,7 @@ from hoard_spark.queries import (
     dround,
     dsum10,
     load,
+    present_sorted,
     query,
     spread,
     track_cache,
@@ -335,8 +336,8 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hoard_spark.ann import queries_from, search_exact
 
     n = _emb_norm(spark, sf_dir).select("vec_id", "v", "nrm")
-    return search_exact(n, queries_from(n, range(10)), k=3).orderBy(
-        "q_id", "rn"
+    return present_sorted(
+        search_exact(n, queries_from(n, range(10)), k=3), "q_id", "rn"
     )
 
 
@@ -483,7 +484,7 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.7)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("a_id", "b_id")
+        .transform(present_sorted, "a_id", "b_id")
     )
 
 
@@ -496,7 +497,11 @@ def simhash_pairs(
     hamming): 64-bit shingle signature, 16-bit-band candidate join,
     hamming <= ``threshold`` exact verify. The general library form; the
     conformance twin q36 runs it over a planted-clone corpus so the
-    driver can hash-check it (VERDICT r6 item 3).
+    driver can hash-check it (VERDICT r6 item 3). Output is UNORDERED
+    (a pair set): both consumers impose their own order (q36 re-sorts,
+    the test compares as a set), and a library-side global sort would
+    just add a range exchange + a sampling re-execution of the band
+    join for an order nobody reads.
 
     ``shingles``: optional precomputed distinct (doc_id, s) rows (e.g.
     the per-corpus materialized shingle artifact) — skips the
@@ -591,7 +596,6 @@ def simhash_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= threshold)
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -643,7 +647,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(
         (F.col("b_id") - F.col("a_id") == _CLONE_OFFSET)
         & (F.col("a_id") < _CLONE_OFFSET)
-    ).orderBy("a_id")
+    ).transform(present_sorted, "a_id")
 
 
 @query(
@@ -987,7 +991,7 @@ def q39(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     return (
         search_ivf(corpus, cents, probes, k=1, nprobe=nprobe)
         .select("q_id", "n_id", "cos")
-        .orderBy("q_id")
+        .transform(present_sorted, "q_id")
     )
 
 
@@ -1088,7 +1092,7 @@ def q91(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
             rerank=32,
         )
         .select("q_id", "n_id", "cos")
-        .orderBy("q_id")
+        .transform(present_sorted, "q_id")
     )
 
 
@@ -1191,7 +1195,7 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
                 3,
             ).alias("cos"),
         )
-        .orderBy("q_id")
+        .transform(present_sorted, "q_id")
     )
 
 
@@ -1535,7 +1539,7 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
                 3,
             ).alias("cos"),
         )
-        .orderBy("path", "q_id")
+        .transform(present_sorted, "path", "q_id")
     )
 
 
@@ -1605,7 +1609,7 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         search_lsh(n, probes, k=1, dim=_EMB_DIM)
         .select("q_id", "n_id", "cos")
-        .orderBy("q_id")
+        .transform(present_sorted, "q_id")
     )
 
 
@@ -1710,7 +1714,7 @@ def q92(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
             where=F.col("label").isin(0, _ANN_FILTER_LABEL),
         )
         .select("q_id", "n_id", "cos")
-        .orderBy("q_id")
+        .transform(present_sorted, "q_id")
     )
 
 
@@ -1757,7 +1761,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sw_ratio", sw_ratio)
         .groupBy("lang", pred.alias("pred"))
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "pred")
+        .transform(present_sorted, "lang", "pred")
     )
 
 
@@ -1814,7 +1818,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             "punct_ratio"
         ),
         keep.alias("keep"),
-    ).orderBy("doc_id")
+    ).transform(present_sorted, "doc_id")
 
 
 _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1922,7 +1926,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("fps").alias("fp_min"),
             F.array_max("fps").alias("fp_max"),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -2029,7 +2033,7 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .where(F.col("cos") >= 0.99)
         .select("a_id", "b_id", F.round("cos", 3).alias("cos"))
-        .orderBy("a_id", "b_id")
+        .transform(present_sorted, "a_id", "b_id")
     )
 
 
@@ -2132,7 +2136,7 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _neardup_cluster_table(spark, sf_dir)
         .select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -2251,7 +2255,7 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first3"
             ),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -2420,7 +2424,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("mse_e6"),
         )
-        .orderBy("label")
+        .transform(present_sorted, "label")
     )
 
 
@@ -2474,7 +2478,7 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size(chunk).cast("int").alias("n_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    ).transform(present_sorted, "doc_id", "chunk_idx")
 
 
 @query(
@@ -2556,7 +2560,7 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("word").alias("top_term"),
             dround(F.col("score")).alias("tfidf"),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -2635,7 +2639,7 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.lit(1.0) - distinct_ratio).alias("dup_ratio"),
             F.when(distinct_ratio <= 0.8, 1).otherwise(0).alias("flagged"),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -2695,7 +2699,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(ratio).alias("overlap_ratio"),
             F.when(ratio >= 0.5, 1).otherwise(0).alias("contaminated"),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -2824,7 +2828,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             F.col("n_tok").alias("canon_tok"),
         )
-        .orderBy("cluster_id")
+        .transform(present_sorted, "cluster_id")
     )
 
 
@@ -2985,7 +2989,7 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             davg(F.col("nll")).alias("avg_nll"),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -3076,7 +3080,7 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "share_ratio"
             ),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -3315,7 +3319,7 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jaccard_similarity_join(
         sh, threshold=0.5, block=["lang", "source"]
-    ).orderBy("a_id", "b_id")
+    ).transform(present_sorted, "a_id", "b_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3581,7 +3585,7 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
-        .orderBy("label", "rn")
+        .transform(present_sorted, "label", "rn")
     )
 
 
@@ -3651,7 +3655,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new",
             dround(F.col("n_new") / F.col("n_grams")).alias("novelty"),
         )
-        .orderBy("doc_id")
+        .transform(present_sorted, "doc_id")
     )
 
 
@@ -3829,7 +3833,7 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("target_n"),
-    ).orderBy("source")
+    ).transform(present_sorted, "source")
 
 
 # ---------------------------------------------------------------------------
@@ -3972,10 +3976,15 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_df",
         )
     )
-    sh = track_cache(
-        art.select("doc_id", "s", "_df", "_r", "_n").unionByName(clone_sh)
-    )
+    # localCheckpoint rather than track_cache: the union is read three
+    # times downstream (a/b posting sides + the verify arrays), and the
+    # checkpoint materializes it ~2x cheaper than building the
+    # InMemoryRelation's columnar batches (measured 1.0 s vs 0.5 s at
+    # sf0.1); lineage truncation is equally effective for both.
+    sh = art.select("doc_id", "s", "_df", "_r", "_n").unionByName(
+        clone_sh
+    ).localCheckpoint(eager=False)
     return (
         containment_join(sh, _CONT_T, min_size=_CONT_MIN)
-        .orderBy("a_id", "b_id")
+        .transform(present_sorted, "a_id", "b_id")
     )

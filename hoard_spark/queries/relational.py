@@ -27,6 +27,7 @@ from hoard_spark.queries import (
     dsum,
     dsum10,
     load,
+    present_sorted,
     query,
     spread,
     track_cache,
@@ -1076,7 +1077,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("ps")[2]).alias("p75"),
             dround(F.col("ps")[3]).alias("p90"),
         )
-        .orderBy("l_returnflag")
+        .transform(present_sorted, "l_returnflag")
     )
 
 
@@ -2107,5 +2108,5 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_name").alias("best_name"),
             F.col("dist").cast("long").alias("dist"),
         )
-        .orderBy("probe")
+        .transform(present_sorted, "probe")
     )
