@@ -113,6 +113,13 @@ def rank_shingle_rows(
         ordered = shingles.select(doc_col, *block, *keep, set_col, "_df")
     else:
         sh = shingles.select(doc_col, *block, *keep, set_col)
+        # Materialize (lazily) before fanning out: the df aggregate AND
+        # the join probe side both read ``sh``, and without this barrier
+        # the caller's shingle build (posexplode + lead window + min-pos
+        # aggregate) is INLINED INTO BOTH subtrees and executes twice —
+        # visible as a duplicated Generate/Window chain under the
+        # broadcast side of the executed plan.
+        sh = sh.localCheckpoint(eager=False)
         df_rank = sh.groupBy(*block, set_col).agg(
             F.count("*").alias("_df")
         )
