@@ -30,6 +30,29 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+_LIVE_CHECKPOINTS: list[DataFrame] = []
+
+
+def track_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` with registered cleanup (ADVICE r11 #3).
+
+    For BENCH-LOCAL query bodies only: a local checkpoint materializes
+    ~2x cheaper than building an InMemoryRelation's columnar batches,
+    but its blocks are NOT fault-tolerant (an executor loss fails
+    downstream stages instead of recomputing) and, untracked, they
+    accumulate across a long suite session until the ContextCleaner
+    happens to GC them. Library operators (``hoard_spark.simjoin``
+    etc.) use :func:`track_cache` — the cluster-facing persist path.
+
+    The returned frame is DEAD after :func:`release_caches` (a freed
+    local-checkpoint block cannot be recomputed); callers must not
+    retain it across the release boundary.
+    """
+    ck = df.localCheckpoint(eager=eager)
+    _LIVE_CHECKPOINTS.append(ck)
+    return ck
+
+
 def untrack_cache(df: DataFrame) -> None:
     """Unpersist ``df`` and drop it from the registry — for a cache whose
     lifetime ended mid-build (e.g. a failed ladder rung), so the registry
@@ -42,6 +65,16 @@ def untrack_cache(df: DataFrame) -> None:
 
 
 def release_caches() -> None:
-    """Unpersist every DataFrame a builder cached in this session."""
+    """Unpersist every DataFrame a builder cached in this session, and
+    free every tracked local checkpoint's backing blocks."""
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist()
+    while _LIVE_CHECKPOINTS:
+        ck = _LIVE_CHECKPOINTS.pop()
+        try:
+            # The checkpoint's storage is the persisted internal RDD of
+            # its LogicalRDD leaf — DataFrame.unpersist only talks to
+            # the CacheManager and would not touch it.
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — best-effort; GC will collect
+            pass

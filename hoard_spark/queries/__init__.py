@@ -54,7 +54,11 @@ REGISTRY: dict[str, Query] = {}
 # Cache registry moved to hoard_spark.cache so library operators
 # (simjoin etc.) can persist multi-consumer subtrees without importing
 # the query registry; re-exported here for the existing import sites.
-from hoard_spark.cache import release_caches, track_cache  # noqa: E402,F401
+from hoard_spark.cache import (  # noqa: E402,F401
+    release_caches,
+    track_cache,
+    track_checkpoint,
+)
 
 
 def query(
@@ -97,34 +101,52 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (URI) corpora bypass the memo — a remote stat per call would just
     move the cost around.
     """
+    if name == "events":
+        # Conf-set OUTSIDE the memoized path: a memo hit must not skip
+        # re-pinning the session conf another caller may have reset
+        # (ADVICE r11 #4) — the conf is read at SCAN time, not at
+        # plan-construction time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = None
     if "://" not in sf_dir:
         path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
-        try:
-            st = os.stat(path)
-            stamp = (st.st_mtime_ns, st.st_size)
-            if os.path.isdir(path):
-                with os.scandir(path) as it:
-                    kids = [e.stat() for e in it]
-                stamp = (
-                    st.st_mtime_ns,
-                    len(kids),
-                    sum(k.st_size for k in kids),
-                    max((k.st_mtime_ns for k in kids), default=0),
-                )
-        except OSError:
-            stamp = None
+        stamp = _dir_stamp(path)
         if stamp is not None:
             key = (spark.sparkContext.applicationId, path, stamp)
             hit = _LOAD_MEMO.get(key)
             if hit is not None:
+                _LOAD_MEMO[key] = _LOAD_MEMO.pop(key)  # refresh LRU slot
                 return hit
     df = _load_uncached(spark, sf_dir, name)
     if key is not None:
-        if len(_LOAD_MEMO) > 256:
-            _LOAD_MEMO.clear()
+        while len(_LOAD_MEMO) > 256:  # evict oldest-first, keep hot entries
+            _LOAD_MEMO.pop(next(iter(_LOAD_MEMO)))
         _LOAD_MEMO[key] = df
     return df
+
+
+def _dir_stamp(path: str):
+    """RECURSIVE freshness stamp of a parquet file/dir: a regenerated
+    partitioned corpus rewrites leaf files under subdirectories, which a
+    top-level scandir would miss (ADVICE r11 #4). Stamp = the full
+    sorted (relative path, mtime, size) listing, walked depth-first."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        listing = []
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                fst = os.stat(fp)
+                listing.append(
+                    (os.path.relpath(fp, path), fst.st_mtime_ns,
+                     fst.st_size)
+                )
+        return tuple(listing)
+    except OSError:
+        return None
 
 
 _LOAD_MEMO: dict[tuple, DataFrame] = {}
@@ -132,7 +154,6 @@ _LOAD_MEMO: dict[tuple, DataFrame] = {}
 
 def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         dtype = dict(df.dtypes).get("ts")
         if dtype == "bigint":
@@ -170,8 +191,29 @@ def present_sorted(df: DataFrame, *cols) -> DataFrame:
     per-line-item projections, the 100k-row window tables) keep the
     distributed ``orderBy`` — a global funnel of an unbounded result
     would serialize at 100 TB.
+
+    Scope discipline (ADVICE r11 #2): "bounded" means the output does
+    NOT grow with the corpus — group-by aggregates over a fixed domain,
+    per-probe top-k (probe set is fixed), planted/thresholded pair sets
+    (sparse by construction, ~0.5% of docs at every measured scale).
+    Per-doc / per-chunk / per-cluster projections are O(corpus) and use
+    :func:`ordered` instead; tests/test_plan_audit.py pins both lists.
     """
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def ordered(df: DataFrame, *cols) -> DataFrame:
+    """Terminal DISTRIBUTED total order for a corpus-sized result.
+
+    The scale-correct counterpart of :func:`present_sorted`: per-doc /
+    per-chunk / per-cluster outputs grow with the corpus, so a single-
+    partition funnel would serialize (and eventually OOM) the terminal
+    sort at sf10+. A plain ``orderBy`` plans a range exchange — its
+    partition-bound sampling pass re-executes the plan suffix once, a
+    cost these projection-shaped tails can afford; the sort itself
+    stays parallel on every scale axis.
+    """
+    return df.orderBy(*cols)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -24,10 +24,12 @@ from hoard_spark.queries import (
     dround,
     dsum10,
     load,
+    ordered,
     present_sorted,
     query,
     spread,
     track_cache,
+    track_checkpoint,
 )
 
 # ---------------------------------------------------------------------------
@@ -1430,8 +1432,9 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
         # sf0.1, more than the actual execution. The checkpoint plan is
         # a leaf relation either way; eager=False folds the frame's
         # one-time evaluation into the first job that reads it instead
-        # of paying a separate job barrier here.
-        .localCheckpoint(eager=False)
+        # of paying a separate job barrier here. Tracked so
+        # release_caches frees the blocks (ADVICE r11 #3).
+        .transform(track_checkpoint)
     )
 
     # Corpus side: ONE scan of the unified artifact (the OR of the two
@@ -1818,7 +1821,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             "punct_ratio"
         ),
         keep.alias("keep"),
-    ).transform(present_sorted, "doc_id")
+    ).transform(ordered, "doc_id")
 
 
 _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1926,7 +1929,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("fps").alias("fp_min"),
             F.array_max("fps").alias("fp_max"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -2136,7 +2139,7 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _neardup_cluster_table(spark, sf_dir)
         .select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -2255,7 +2258,7 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first3"
             ),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -2478,7 +2481,7 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size(chunk).cast("int").alias("n_words"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
-    ).transform(present_sorted, "doc_id", "chunk_idx")
+    ).transform(ordered, "doc_id", "chunk_idx")
 
 
 @query(
@@ -2560,7 +2563,7 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("word").alias("top_term"),
             dround(F.col("score")).alias("tfidf"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -2639,7 +2642,7 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.lit(1.0) - distinct_ratio).alias("dup_ratio"),
             F.when(distinct_ratio <= 0.8, 1).otherwise(0).alias("flagged"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -2699,7 +2702,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(ratio).alias("overlap_ratio"),
             F.when(ratio >= 0.5, 1).otherwise(0).alias("contaminated"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -2828,7 +2831,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             F.col("n_tok").alias("canon_tok"),
         )
-        .transform(present_sorted, "cluster_id")
+        .transform(ordered, "cluster_id")
     )
 
 
@@ -2989,7 +2992,7 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             davg(F.col("nll")).alias("avg_nll"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -3080,7 +3083,7 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "share_ratio"
             ),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -3655,7 +3658,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new",
             dround(F.col("n_new") / F.col("n_grams")).alias("novelty"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -3976,14 +3979,16 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_df",
         )
     )
-    # localCheckpoint rather than track_cache: the union is read three
-    # times downstream (a/b posting sides + the verify arrays), and the
-    # checkpoint materializes it ~2x cheaper than building the
-    # InMemoryRelation's columnar batches (measured 1.0 s vs 0.5 s at
-    # sf0.1); lineage truncation is equally effective for both.
-    sh = art.select("doc_id", "s", "_df", "_r", "_n").unionByName(
-        clone_sh
-    ).localCheckpoint(eager=False)
+    # Tracked localCheckpoint rather than track_cache: the union is
+    # read three times downstream (a/b posting sides + the verify
+    # arrays), and the checkpoint materializes it ~2x cheaper than
+    # building the InMemoryRelation's columnar batches (measured 1.0 s
+    # vs 0.5 s at sf0.1); lineage truncation is equally effective for
+    # both, and track_checkpoint registers the blocks for explicit
+    # release (ADVICE r11 #3) — fine for a bench-local query body.
+    sh = track_checkpoint(
+        art.select("doc_id", "s", "_df", "_r", "_n").unionByName(clone_sh)
+    )
     return (
         containment_join(sh, _CONT_T, min_size=_CONT_MIN)
         .transform(present_sorted, "a_id", "b_id")

@@ -21,7 +21,7 @@ from hoard_spark.multimodal import (
     extract_features,
     sample_frames,
 )
-from hoard_spark.queries import load, present_sorted, query
+from hoard_spark.queries import load, ordered, query
 
 
 @query(
@@ -84,7 +84,7 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         F.round("entropy", 3).alias("entropy"),
         "head_md5",
-    ).transform(present_sorted, "doc_id")
+    ).transform(ordered, "doc_id")
 
 
 @query(
@@ -116,7 +116,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.min_by("frame", "frame_idx")).alias("first_md5"),
             F.md5(F.max_by("frame", "frame_idx")).alias("last_md5"),
         )
-        .transform(present_sorted, "doc_id")
+        .transform(ordered, "doc_id")
     )
 
 
@@ -158,4 +158,4 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_ppm_payload(load(spark, sf_dir, "documents"), 8, 8)
-    return decode_resize_stats(media, 4, 4).transform(present_sorted, "doc_id")
+    return decode_resize_stats(media, 4, 4).transform(ordered, "doc_id")

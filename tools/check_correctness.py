@@ -27,6 +27,20 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def corpus_fingerprint(sf_dir):
+    """Stable id of the corpus actually read: sha256 over the sorted
+    (table, file_size) list. Recorded in every artifact row so a run
+    against the wrong corpus cannot masquerade as the scale gate
+    (ADVICE r11 #1 — the r11 'scale' refresh silently ran on sf0.01)."""
+    parts = []
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        parts.append(f"{t}:{p.stat().st_size if p.exists() else -1}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -75,6 +89,10 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    global CORPUS_FP
+    CORPUS_FP = corpus_fingerprint(SF_DIR)
+    print(f"corpus: {SF_DIR} fp={CORPUS_FP}", flush=True)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -85,6 +103,14 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     scale = os.environ.get("HOARD_SCALE_ORACLE") == "1"
+    if scale and os.path.realpath(SF_DIR) == os.path.realpath(
+        DEFAULT_SF_DIR
+    ):
+        sys.exit(
+            "HOARD_SCALE_ORACLE=1 with the default sf0.01 corpus — "
+            "pass the scale corpus dir explicitly (the scale artifact "
+            "must never be stamped from the local-gate corpus)."
+        )
     if scale:
         # Value-check against the scale-path twins (candidate-join SQL,
         # VERDICT r8 item 10) — the form that finishes at sf0.1 where
@@ -126,7 +152,9 @@ def main():
         rec = {
             "checked_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-            )
+            ),
+            "sf_dir": SF_DIR,
+            "corpus": CORPUS_FP,
         }
         try:
             df = fn(spark, SF_DIR)
