@@ -208,12 +208,22 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
     The scale-correct counterpart of :func:`present_sorted`: per-doc /
     per-chunk / per-cluster outputs grow with the corpus, so a single-
     partition funnel would serialize (and eventually OOM) the terminal
-    sort at sf10+. A plain ``orderBy`` plans a range exchange — its
-    partition-bound sampling pass re-executes the plan suffix once, a
-    cost these projection-shaped tails can afford; the sort itself
-    stays parallel on every scale axis.
+    sort at sf10+.
+
+    Materialize-then-sort, not a bare ``orderBy``: the range exchange's
+    partition-bound sampling pass executes the plan suffix once for the
+    bounds and the main pass executes it AGAIN — for the tokenizing /
+    scoring tails these projections carry, that is the whole query
+    twice plus a full-width shuffle (measured on q41 at sf10: 41 s bare
+    orderBy vs 14.5 s body-only). A tracked MEMORY_AND_DISK persist in
+    between executes the tail once; both the sampling and the sort read
+    the InMemoryRelation (14.7 s — within noise of the body). The
+    persist is corpus-sized but spill-safe and fault-tolerant
+    (recomputable on executor loss), the standard materialize-before-
+    total-sort shape; callers that can live without a total order
+    should simply not sort an O(corpus) result.
     """
-    return df.orderBy(*cols)
+    return track_cache(df).orderBy(*cols)
 
 
 def spread(df: DataFrame) -> DataFrame:

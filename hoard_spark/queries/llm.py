@@ -1937,8 +1937,8 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47: embedding-cosine near-dup (the dedup-family closer)
 # ---------------------------------------------------------------------------
 
-_RP_PLANES = 36  # 6 bands x 6 bits
-_RP_BANDS = 6
+_RP_PLANES = 192  # 12 bands x 16 bits
+_RP_BANDS = 12
 
 
 def _rp_bands(n: DataFrame) -> DataFrame:
@@ -1949,10 +1949,21 @@ def _rp_bands(n: DataFrame) -> DataFrame:
     identical across runs. The signed sums run as codegen SUM aggregates
     over posexploded (vec_id, d, x) rows (same shape as the MinHash/SimHash
     signatures: explode + groupBy beats per-row interpreted higher-order
-    lambdas), then 6-bit sign patterns hash into 6 LSH bands. A cos>=0.99
-    pair (~8 degrees) agrees per plane w.p. ~0.955 => P(some band matches)
-    ~0.9998; a random pair lands in a shared band ~9% of the time, so the
-    candidate set stays near-linear instead of quadratic.
+    lambdas), then 16-bit sign patterns hash into 12 LSH bands.
+
+    Band geometry is the SCALE knob, and it is quadratic-or-not: a
+    random pair (sign bits ~ fair coins) collides in a given band w.p.
+    2^-bits, so expected candidates = bands * 2^-bits * N^2/2 — ALWAYS
+    Theta(N^2), the constant decides viability. The old 6x6 geometry's
+    constant was 6/64 ~ 9%: fine at 20k vectors (~18M candidates,
+    seconds), disk-filling at 200k (~1.8B candidate rows + their
+    exact-verify vector payloads = the sf10 ENOSPC). 12x16 drops the
+    constant to 12/65536 ~ 1.8e-4 (3.7M candidates at 200k, ~370M at
+    2M — still bucketed equi-joins, never a crossJoin) while KEEPING
+    the recall bar: a cos>=0.99 pair agrees per plane w.p. ~0.955, per
+    band 0.955^16 ~ 0.478, so P(miss all 12) ~ 0.522^12 ~ 4e-4 — same
+    order as the old geometry's 2e-4 claim; the signature build stays
+    linear (192 conditional sums over the same posexplode).
     """
     pos = n.select("vec_id", F.posexplode("v").alias("pos", "x"))
     sums = pos.groupBy("vec_id").agg(
@@ -1991,8 +2002,9 @@ def _rp_bands(n: DataFrame) -> DataFrame:
     "embedding near-dup pairs (cosine >= 0.99) via random-hyperplane LSH "
     "candidates + exact verify",
     # Oracle = brute-force exact threshold self-join. The LSH path misses a
-    # cos>=0.99 pair w.p. ~2e-4 and verification is exact, so the result
-    # hash-matches the oracle on this corpus (recall pinned by test).
+    # cos>=0.99 pair w.p. ~4e-4 (12 bands x 16 bits) and verification is
+    # exact, so the result hash-matches the oracle on this corpus (recall
+    # pinned by test; exact clones collide in EVERY band, recall 1.0).
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),

@@ -44,6 +44,28 @@ SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/hoard_sf10")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SLOPE_BAR = 15.0
 
+# Quadratic-on-THIS-corpus conformance workloads, excluded by default
+# with their committed diagnoses (they fill the disk with candidate
+# shuffle spill long before the watchdog fires — measured ENOSPC at
+# sf10 in both runs of r12):
+# - q90's width-3 ladder: the closed 31-word testdata vocabulary
+#   saturates the 3-gram domain (~30k shapes), df grows with N and the
+#   prefix join's sum(df^2) candidate count is ~N^2 REGARDLESS of plan
+#   (diagnosed at sf1; the width-5 control — domain ~28.6M, df flat —
+#   is the declared scale path: bench_heavy_sf10.json 3.97x/decade).
+# - q98's 3-gram containment join: same vocabulary saturation one
+#   construction over (candidates = sum df_prefixA * df); the width-5
+#   containment control in tools/bench_containment_w5.json is its
+#   declared scale path.
+SKIP = {
+    "q90_topk_simjoin_ladder": "ENOSPC: 3-gram domain saturated, "
+    "sum(df^2)~N^2 on the closed test vocabulary; width-5 control is "
+    "the scale path (bench_heavy_sf10.json)",
+    "q98_containment_dedup": "ENOSPC: same 3-gram saturation via the "
+    "containment prefix join; width-5 control is the scale path "
+    "(bench_containment_w5.json)",
+}
+
 
 def _arg(flag: str, default: int) -> int:
     return (
@@ -53,7 +75,7 @@ def _arg(flag: str, default: int) -> int:
     )
 
 
-def one_run(spark, cap: float, skip: set) -> tuple[dict, dict, dict]:
+def one_run(spark, cap: float, skip: set, only: set) -> tuple[dict, dict, dict]:
     from pyspark.sql import functions as F
 
     from hoard_spark.queries import all_queries, release_caches
@@ -85,8 +107,10 @@ def one_run(spark, cap: float, skip: set) -> tuple[dict, dict, dict]:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(all_queries().items()):
-        if name in skip:  # timed out in an earlier run — re-running
-            continue      # just burns another full cap for no minimum
+        if only and name not in only:
+            continue
+        if name in skip or name in SKIP:  # earlier timeout / documented
+            continue                      # quadratic — no minimum to gain
         group = f"sf10:{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         timer = threading.Timer(cap, sc.cancelJobGroup, args=(group,))
@@ -124,6 +148,11 @@ def main() -> None:
         )
     runs = _arg("--runs", 2)
     cap = float(_arg("--cap", 900))
+    only = (
+        set(sys.argv[sys.argv.index("--only") + 1 :])
+        if "--only" in sys.argv
+        else set()
+    )
 
     from pyspark.sql import SparkSession
 
@@ -153,7 +182,7 @@ def main() -> None:
     errors_union: dict[str, str] = {}
     timed_out: set = set()
     for i in range(runs):
-        timings, errors, meta = one_run(spark, cap, timed_out)
+        timings, errors, meta = one_run(spark, cap, timed_out, only)
         timed_out |= {
             n for n, msg in errors.items() if msg.startswith("TIMEOUT")
         }
@@ -169,6 +198,26 @@ def main() -> None:
         print(f"# run {i + 1}/{runs}: {all_runs[-1]}", file=sys.stderr,
               flush=True)
 
+    path = REPO / "tools" / "bench_full_sf10.json"
+    if only and path.exists():
+        # targeted refresh: merge the re-measured queries into the
+        # committed artifact (same discipline as check_correctness.py's
+        # partial runs) — entries not re-run keep their prior minima,
+        # refreshed entries REPLACE (not min-merge) theirs so a plan
+        # change's new wall is recorded even when it is slower
+        prior = json.loads(path.read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(minima)
+        minima = merged
+        prior_errors = {
+            k: v
+            for k, v in prior.get("errors", {}).items()
+            if k not in only and k not in minima
+        }
+        errors_union = {**prior_errors, **errors_union}
+        all_runs = prior.get("runs", []) + [
+            {**r, "only": sorted(only)} for r in all_runs
+        ]
     slopes = {
         n: round(t / base[n], 2)
         for n, t in minima.items()
@@ -199,6 +248,7 @@ def main() -> None:
         "n_queries": len(minima),
         "errors": errors_union,
         "slope_bar": SLOPE_BAR,
+        "skipped_quadratic": SKIP,
         "outliers_over_bar": outliers,
         "slopes": dict(sorted(slopes.items(), key=lambda kv: -kv[1])),
         "queries": minima,
