@@ -1939,6 +1939,31 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RP_PLANES = 192  # 12 bands x 16 bits
 _RP_BANDS = 12
+_RP_SIGN_MEMO: "dict[int, list[list[float]]]" = {}
+
+
+def _rp_signs(spark: SparkSession, dim: int) -> "list[list[float]]":
+    """±1.0 hyperplane matrix ``signs[p][d]`` = parity of
+    ``xxhash64(p, d)`` — the SAME bits the pre-r13 form derived inside
+    the per-row aggregate, computed ONCE per embedding width with one
+    dim-row job and memoized for the session. Re-deriving this
+    deterministic constant per data row was q47's main signature cost
+    (192 xxhash64 calls x dim elements x N rows)."""
+    if dim not in _RP_SIGN_MEMO:
+        cols = [
+            F.expr(
+                f"IF((xxhash64({p}, CAST(id AS INT)) & 1) = 1, 1.0D, -1.0D)"
+            ).alias(f"s{p}")
+            for p in range(_RP_PLANES)
+        ]
+        rows = sorted(
+            spark.range(dim).select("id", *cols).collect(),
+            key=lambda r: r["id"],
+        )
+        _RP_SIGN_MEMO[dim] = [
+            [r[f"s{p}"] for r in rows] for p in range(_RP_PLANES)
+        ]
+    return _RP_SIGN_MEMO[dim]
 
 
 def _rp_bands(n: DataFrame) -> DataFrame:
@@ -1946,10 +1971,18 @@ def _rp_bands(n: DataFrame) -> DataFrame:
 
     Random-hyperplane LSH for cosine: plane p's component for dimension d
     is ±1 by the parity of xxhash64(p, d) — deterministic, seedless, and
-    identical across runs. The signed sums run as codegen SUM aggregates
-    over posexploded (vec_id, d, x) rows (same shape as the MinHash/SimHash
-    signatures: explode + groupBy beats per-row interpreted higher-order
-    lambdas), then 16-bit sign patterns hash into 12 LSH bands.
+    identical across runs. The 192 projections are literal-sign dot
+    products evaluated map-side (one ``transform`` over the inlined sign
+    matrix, the ann.centroid_sims shape). r13 replaced the posexplode +
+    192-conditional-SUM groupBy, which re-derived the constant sign
+    matrix per row AND paid an N x dim-row shuffle for sums a map pass
+    computes: A/B'd 2.07 → 1.76 s at sf0.1 (the element_at-in-SUM
+    middle ground measured WORSE, 2.52 s — the shuffle, not the hash,
+    is the residual cost). Bit-identical by construction: zip_with/
+    aggregate folds in the same ascending-dimension order as the
+    partial SUM over posexploded rows and ``0.0 + x == x`` exactly, so
+    every projection (hence every band hash) is unchanged — asserted
+    over sf0.01 + sf0.1 at the switch, planted-clone recall test green.
 
     Band geometry is the SCALE knob, and it is quadratic-or-not: a
     random pair (sign bits ~ fair coins) collides in a given band w.p.
@@ -1963,18 +1996,22 @@ def _rp_bands(n: DataFrame) -> DataFrame:
     the recall bar: a cos>=0.99 pair agrees per plane w.p. ~0.955, per
     band 0.955^16 ~ 0.478, so P(miss all 12) ~ 0.522^12 ~ 4e-4 — same
     order as the old geometry's 2e-4 claim; the signature build stays
-    linear (192 conditional sums over the same posexplode).
+    linear (192 literal dots per row, no shuffle).
     """
-    pos = n.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    sums = pos.groupBy("vec_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.expr(f"(xxhash64({p}, pos) & 1) = 1"), F.col("x")
-                ).otherwise(-F.col("x"))
-            ).alias(f"s{p}")
-            for p in range(_RP_PLANES)
-        ]
+    from hoard_spark.ann import _lit_matrix
+
+    first = n.select("v").first()
+    # Empty corpus: any width yields zero band rows; 1 keeps the
+    # sign-matrix job and literal tiny.
+    dim = len(first["v"]) if first is not None else 1
+    signs = _rp_signs(n.sparkSession, dim)
+    projs = F.transform(
+        _lit_matrix(signs),
+        lambda s: F.aggregate(
+            F.zip_with(s, F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
     bits = _RP_PLANES // _RP_BANDS
     bands = F.array(
@@ -1983,7 +2020,9 @@ def _rp_bands(n: DataFrame) -> DataFrame:
                 F.lit(b).alias("band_id"),
                 F.xxhash64(
                     *[
-                        (F.col(f"s{b * bits + r}") >= 0).cast("int")
+                        (F.element_at("s", b * bits + r + 1) >= 0).cast(
+                            "int"
+                        )
                         for r in range(bits)
                     ]
                 ).alias("band_hash"),
@@ -1992,7 +2031,8 @@ def _rp_bands(n: DataFrame) -> DataFrame:
         ]
     )
     return track_cache(
-        sums.select("vec_id", F.explode(bands).alias("band"))
+        n.select("vec_id", projs.alias("s"))
+        .select("vec_id", F.explode(bands).alias("band"))
         .select("vec_id", "band.band_id", "band.band_hash")
     )
 
