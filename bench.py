@@ -366,9 +366,10 @@ def _time_duckdb_one(q) -> "float | None":
     con = duckdb.connect()
     con.execute(f"SET threads TO {CPUS}")
     for t in tables:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # directory-layout (multi-split) tables need the glob form
+        p = Path(SF_DIR) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     timer = threading.Timer(cap, con.interrupt)
     timer.start()
     t0 = time.time()

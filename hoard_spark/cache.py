@@ -76,5 +76,18 @@ def release_caches() -> None:
             # its LogicalRDD leaf — DataFrame.unpersist only talks to
             # the CacheManager and would not touch it.
             ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:  # noqa: BLE001 — best-effort; GC will collect
-            pass
+        except Exception as e:  # noqa: BLE001 — best-effort; GC will collect
+            # Not silent (ADVICE r12 #3): this path goes through private
+            # JVM plan internals, and if a Spark upgrade changes the
+            # analyzed-plan shape, cleanup would quietly revert to
+            # ContextCleaner-only collection — the exact leak ADVICE
+            # r11 #3 closed. Surface the regression instead.
+            import warnings
+
+            warnings.warn(
+                "release_caches: freeing a tracked local checkpoint's "
+                f"blocks failed ({type(e).__name__}: {e}); its storage "
+                "now waits for the ContextCleaner",
+                RuntimeWarning,
+                stacklevel=2,
+            )

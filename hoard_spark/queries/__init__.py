@@ -18,6 +18,7 @@ top-k ties broken by a unique key; identical aliases on both sides.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -119,7 +120,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 return hit
     df = _load_uncached(spark, sf_dir, name)
     if key is not None:
-        while len(_LOAD_MEMO) > 256:  # evict oldest-first, keep hot entries
+        # evict oldest-first BEFORE exceeding the cap: >= keeps the memo
+        # at exactly 256 entries after insertion (ADVICE r12 #5's
+        # off-by-one made it 257)
+        while len(_LOAD_MEMO) >= 256:
             _LOAD_MEMO.pop(next(iter(_LOAD_MEMO)))
         _LOAD_MEMO[key] = df
     return df
@@ -128,8 +132,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _dir_stamp(path: str):
     """RECURSIVE freshness stamp of a parquet file/dir: a regenerated
     partitioned corpus rewrites leaf files under subdirectories, which a
-    top-level scandir would miss (ADVICE r11 #4). Stamp = the full
-    sorted (relative path, mtime, size) listing, walked depth-first."""
+    top-level scandir would miss (ADVICE r11 #4). Stamp = sha256 of the
+    full sorted (relative path, mtime, size) listing, walked depth-first
+    — hashed rather than stored verbatim so a many-file corpus doesn't
+    make every memo key arbitrarily large (ADVICE r12 #5)."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
@@ -144,7 +150,7 @@ def _dir_stamp(path: str):
                     (os.path.relpath(fp, path), fst.st_mtime_ns,
                      fst.st_size)
                 )
-        return tuple(listing)
+        return hashlib.sha256(repr(listing).encode()).hexdigest()
     except OSError:
         return None
 
@@ -222,8 +228,28 @@ def ordered(df: DataFrame, *cols) -> DataFrame:
     (recomputable on executor loss), the standard materialize-before-
     total-sort shape; callers that can live without a total order
     should simply not sort an O(corpus) result.
+
+    Each call retires the PREVIOUS ordered() persist: the exported
+    driver contract (``__spark_entry__.queries()``) has no release
+    hook, so a driver session running all 17 range-sorted queries
+    back-to-back would otherwise accumulate 17 corpus-sized caches
+    that the CacheManager strong-holds (ADVICE r12 #2). By the time
+    the next query builds, the previous one's terminal action has
+    consumed its sort; at worst an earlier frame a caller kept around
+    recomputes its tail on re-execution — a perf cost, never a
+    correctness one. ``release_caches()`` remains the bulk hook for
+    bench/tests.
     """
-    return track_cache(df).orderBy(*cols)
+    from hoard_spark.cache import untrack_cache
+
+    while _LIVE_ORDERED:
+        untrack_cache(_LIVE_ORDERED.pop())
+    out = track_cache(df)
+    _LIVE_ORDERED.append(out)
+    return out.orderBy(*cols)
+
+
+_LIVE_ORDERED: list[DataFrame] = []
 
 
 def spread(df: DataFrame) -> DataFrame:

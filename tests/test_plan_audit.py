@@ -445,3 +445,91 @@ def test_corpus_sized_outputs_keep_distributed_sort(spark, name):
         f"{name} is corpus-sized output and must keep the "
         f"distributed range sort:\n{plan[:2000]}"
     )
+
+
+# Queries that terminate in a BARE distributed orderBy — neither funneled
+# nor ordered(): their pre-sort tails are cheap (scan + filter / join /
+# window — no Arrow stage, no candidate verify, no persisted artifact
+# build), so the range exchange's sampling pass re-executing the tail is
+# cheaper than materializing it, and the sort itself stays distributed.
+# Part of the completeness ledger below (ADVICE r12 #4), not a separate
+# per-query audit.
+BARE_RANGE_SORTED = [
+    "q01_bucket_lww", "q02_rollup_xff", "q03_cascaded_rollup",
+    "q04_range_fetch", "q06_filter", "q08_inner_join_agg", "q09_left_join",
+    "q10_full_join", "q11_semi_join", "q12_anti_join", "q13_cross_join",
+    "q14_theta_join", "q17_grouping_sets", "q18_rollup", "q19_cube",
+    "q20_stats_aggs", "q21_ranking_windows", "q22_lag_delta",
+    "q23_moving_avg", "q26_set_ops", "q27_string_fns", "q28_date_fns",
+    "q29_math_fns", "q30_conditional", "q32_token_stats",
+    "q33_json_extract", "q42_token_count_bpe", "q44_mm_metadata",
+    "q48_sessionize", "q50_asof_join", "q52_hash_sample", "q53_text_clean",
+    "q54_pivot", "q55_unpivot", "q57_range_join", "q58_salted_agg",
+    "q60_pii_redact", "q61_stratified_sample", "q69_weighted_median",
+    "q70_map_fns", "q73_pack_contexts", "q74_quality_blend",
+    "q75_scalar_subquery", "q76_value_windows", "q78_cohort_retention",
+    "q80_sorted_collect", "q81_merge_upsert", "q82_quantile_sketch",
+    "q83_gapfill", "q84_ewma", "q85_interval_join", "q87_snapshot_diff",
+    "q88_scd2_intervals", "q90_topk_simjoin_ladder",
+]
+
+
+def _root_op(plan: str) -> str:
+    """The plan's root operator line (under the AdaptiveSparkPlan
+    wrapper) — a TERMINAL sort is exactly a Sort at the root, which is
+    what the parametrized audits above rely on structurally; a window's
+    or SMJ's Sort deeper in the tree never appears here."""
+    lines = plan.splitlines()
+    return lines[1] if lines and lines[0].startswith("AdaptiveSparkPlan") else lines[0]
+
+
+def test_sort_discipline_ledger_is_complete(spark):
+    """COMPLETENESS enforcement for the sort-discipline lists (ADVICE
+    r12 #4): FUNNELED and RANGE_SORTED claim to be complete, but until
+    r13 nothing checked it — a new registry query ending in a terminal
+    sort joined neither parametrized audit and silently escaped the
+    discipline. Walk the WHOLE registry and classify every query's plan
+    root: funnel-sorted plans must equal FUNNELED exactly, every
+    range-sorted plan must sit in exactly one of RANGE_SORTED (the
+    ordered() materialize-then-sort queries) or BARE_RANGE_SORTED (the
+    cheap-tail bare orderBy ledger), and no listed query may have lost
+    its terminal sort (stale-entry check). A new query must be placed
+    in a list — or the lists updated — deliberately."""
+    listed_once = (
+        set(FUNNELED) | set(RANGE_SORTED) | set(BARE_RANGE_SORTED)
+    )
+    assert len(listed_once) == (
+        len(FUNNELED) + len(RANGE_SORTED) + len(BARE_RANGE_SORTED)
+    ), "a query appears in more than one sort-discipline list"
+
+    from hoard_spark.cache import release_caches
+
+    funneled_live, ranged_live, unsorted_live = set(), set(), set()
+    try:
+        for name, q in sorted(REG.items()):
+            plan = plan_of(q.spark_fn(spark, SF))
+            root = _root_op(plan)
+            m = re.search(r"\bSort \[.*\], (true|false)", root)
+            if m is None:
+                unsorted_live.add(name)
+            elif m.group(1) == "true":
+                ranged_live.add(name)
+            else:
+                funneled_live.add(name)
+    finally:
+        # 100 plan builds register ~100 (lazy, unmaterialized) persists
+        release_caches()
+        spark.catalog.clearCache()
+
+    assert funneled_live == set(FUNNELED), (
+        f"FUNNELED drift: unlisted={sorted(funneled_live - set(FUNNELED))} "
+        f"stale={sorted(set(FUNNELED) - funneled_live)}"
+    )
+    expected_ranged = set(RANGE_SORTED) | set(BARE_RANGE_SORTED)
+    assert ranged_live == expected_ranged, (
+        f"range-sort drift: unlisted={sorted(ranged_live - expected_ranged)} "
+        f"stale={sorted(expected_ranged - ranged_live)}"
+    )
+    assert not (unsorted_live & listed_once), (
+        f"listed but no terminal sort: {sorted(unsorted_live & listed_once)}"
+    )

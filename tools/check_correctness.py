@@ -31,15 +31,39 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
 def corpus_fingerprint(sf_dir):
-    """Stable id of the corpus actually read: sha256 over the sorted
-    (table, file_size) list. Recorded in every artifact row so a run
-    against the wrong corpus cannot masquerade as the scale gate
-    (ADVICE r11 #1 — the r11 'scale' refresh silently ran on sf0.01)."""
+    """Stable id of the corpus actually read: sha256 over the per-table
+    size facts, in fixed TABLES order. Single-file tables hash their
+    file size (byte-compatible with the pre-r13 fingerprints, so
+    committed sf0.01/sf0.1 stamps stay valid); directory-layout
+    (multi-split) tables hash the sorted (leaf name, leaf size) list —
+    the directory inode's own st_size is content-insensitive (~4096),
+    which made the pre-r13 fingerprint meaningless in exactly the
+    nested case (ADVICE r12 #1). No mtime on purpose: the generators
+    are deterministic, so regenerating an identical /tmp corpus keeps
+    its fingerprint, and cross-round artifacts stay comparable.
+    Recorded in every artifact row so a run against the wrong corpus
+    cannot masquerade as the scale gate (ADVICE r11 #1)."""
     parts = []
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        parts.append(f"{t}:{p.stat().st_size if p.exists() else -1}")
+        if p.is_dir():
+            leaves = sorted(
+                (str(q.relative_to(p)), q.stat().st_size)
+                for q in p.rglob("*")
+                if q.is_file()
+            )
+            parts.append(f"{t}:dir:" + ",".join(f"{n}={s}" for n, s in leaves))
+        else:
+            parts.append(f"{t}:{p.stat().st_size if p.exists() else -1}")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def pq_source(sf_dir, t):
+    """DuckDB-readable parquet source for a table: the file itself, or
+    a glob for directory-layout (multi-split) tables."""
+    p = Path(sf_dir) / f"{t}.parquet"
+    return f"{p}/*.parquet" if p.is_dir() else str(p)
+
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -97,7 +121,7 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
+            f"read_parquet('{pq_source(SF_DIR, t)}')"
         )
 
     queries = entry_mod.queries()

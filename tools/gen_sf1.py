@@ -248,16 +248,45 @@ def gen_relational(rng: np.random.Generator) -> dict[str, pa.Table]:
     }
 
 
+SPLITS = int(os.environ.get("HOARD_GEN_SPLITS", "32"))
+
+
+def write_split(tbl: pa.Table, path: str, splits: int = SPLITS) -> None:
+    """Write a table as a DIRECTORY of ``splits`` contiguous row-slice
+    files (part-00000.parquet ... in row order) instead of one file/one
+    row group: the single-file layout started every sf1/sf10 scan on
+    ONE core until the first shuffle, which both set an artificial
+    per-doc floor (q53: 15-20 s serial fan-in) and forced ``spread()``
+    workarounds into the measurement path (VERDICT r12 item 5). Same
+    rows, same order — only the file layout changes."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    n = tbl.num_rows
+    k = max(1, min(splits, n))  # never write empty part files
+    bounds = [n * i // k for i in range(k + 1)]
+    for i in range(k):
+        pq.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            f"{path}/part-{i:05d}.parquet",
+        )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(421)
-    pq.write_table(gen_documents(rng), f"{OUT}/documents.parquet")
-    pq.write_table(gen_events(rng), f"{OUT}/events.parquet")
-    pq.write_table(gen_embeddings(rng), f"{OUT}/embeddings.parquet")
+    write_split(gen_documents(rng), f"{OUT}/documents.parquet")
+    write_split(gen_events(rng), f"{OUT}/events.parquet")
+    write_split(gen_embeddings(rng), f"{OUT}/embeddings.parquet")
     if not SKIP_RELATIONAL:
         for name, tbl in gen_relational(rng).items():
-            pq.write_table(tbl, f"{OUT}/{name}.parquet")
+            write_split(tbl, f"{OUT}/{name}.parquet")
         # fixed dimension tables: identical at every SF — copy verbatim
+        # (25/5 rows; splitting them would only add file-listing cost)
         for name in ("region", "nation"):
             pq.write_table(
                 pq.read_table(f"/root/testdata/sf0.1/{name}.parquet"),
