@@ -1288,7 +1288,13 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     "filtered IVF, the filtered corpus removing the unfiltered top-1 "
     "for ~90% of probes so only a pre-filter plan survives)",
 )
-def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
+def q100(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 6,
+    probe_cap: "int | None" = None,
+    _cands_only: bool = False,
+) -> DataFrame:
     """q99's provable near-neighbor construction pushed through the
     remaining ANN engines. The IVF-PQ path must surface each perturbed
     probe's source from 4-bit ADC codes + exact rerank (the probe's
@@ -1348,11 +1354,19 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     # unified artifact instead of a fresh _emb_norm plan: same values by
     # construction (the artifact stores v = CAST(embedding AS DOUBLE)),
     # one less normalized-corpus build per invocation.
+    # probe_cap is the SCALING-CONTROL hook (never set on the registered
+    # conformance path): the probe population grows with the corpus
+    # (every _ANN_STEP'th vector), so probes x per-probe candidates is
+    # ~N^2 BY CONSTRUCTION — capping the probe-source vec_id fixes the
+    # probe-set size so tools/bench_q100_sf10.py can isolate the corpus
+    # axis, exactly the q91 fixed-probe control pattern.
+    probe_src = (F.col("vec_id") < _ANN_OFFSET) & (
+        F.col("vec_id") % _ANN_STEP == _RECALL_RES
+    )
+    if probe_cap is not None:
+        probe_src = probe_src & (F.col("vec_id") < probe_cap)
     probes = track_cache(
-        table.where(
-            (F.col("vec_id") < _ANN_OFFSET)
-            & (F.col("vec_id") % _ANN_STEP == _RECALL_RES)
-        )
+        table.where(probe_src)
         .select(
             (F.col("vec_id") + F.lit(_RECALL_QOFF)).alias("q_id"),
             q_v.alias("q_v"),
@@ -1503,6 +1517,12 @@ def q100(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
             ),
         )
     )
+    if _cands_only:
+        # Diagnostic surface for the scaling harness: the candidate
+        # meeting's (tag, q_id, n_id) stream pre-ranking, so per-path
+        # candidate volume can be counted (a map-side partial count —
+        # no wide shuffle) without paying the window ranking.
+        return cand.select("tag", "q_id", "n_id")
     # Two windows over the SAME partitioning = one exchange: the first
     # is search_ivf_pq's ADC cut (pq rows only — others pass), the
     # second every path's exact-cosine top-1 with the library tie-break.
