@@ -51,20 +51,26 @@ def normalized(
 
     The persist is the InMemoryRelation barrier that stops Catalyst from
     inlining the norm expression into both sides of downstream
-    self-joins; ``spread`` parallelizes the per-vector math when the
-    input is a narrow single-file scan. Pass ``persist=False`` when the
-    corpus is consumed by a single search pass with a pre-filter
-    predicate: an InMemoryRelation would also BLOCK parquet predicate
-    pushdown, so an unpersisted corpus is what lets a filtered search
-    read only the predicate-selected row groups (plan-pinned in
+    self-joins; ``spread_by_stats`` parallelizes the per-vector math
+    when the input is a narrow single-file scan — the stats-based
+    variant, not ``spread``, because normalized() receives FRESH plan
+    objects (the unified-corpus union per index build, a streaming
+    store's table per batch) whose ``df.rdd`` partition probe costs
+    ~1.1 s of driver wall each time; the optimizer-stats estimate is
+    ~20 ms and identical in effect on parquet-backed inputs (measured,
+    r13). Pass ``persist=False`` when the corpus is consumed by a
+    single search pass with a pre-filter predicate: an InMemoryRelation
+    would also BLOCK parquet predicate pushdown, so an unpersisted
+    corpus is what lets a filtered search read only the
+    predicate-selected row groups (plan-pinned in
     tests/test_plan_audit.py::test_ann_filtered_predicate_reaches_scan).
     """
-    from hoard_spark.queries import spread, track_cache
+    from hoard_spark.queries import spread_by_stats, track_cache
 
     v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
     extra = [F.col(c) for c in (keep or [])]
     out = (
-        spread(emb)
+        spread_by_stats(emb)
         .select(F.col(id_col).alias("vec_id"), v.alias("v"), *extra)
         .withColumn(
             "nrm",
