@@ -9,8 +9,12 @@ outliers are listed for SURVEY §6 diagnosis. Engine-only — there is no
 oracle run at sf1 (value checks live at sf0.01 / the sf0.1 scale-twin
 pass); this is a scaling artifact, not a correctness gate.
 
-Usage: python tools/bench_full_sf1.py   (regenerates the corpus if absent)
-Writes tools/bench_full_sf1.json.
+Usage: python tools/bench_full_sf1.py [--only qNN_name ...]
+(regenerates the corpus if absent). Writes tools/bench_full_sf1.json.
+``--only`` re-measures just the named queries and merges them into the
+committed artifact (refresh REPLACES the prior entry — same discipline
+as bench_full_sf10.py's targeted mode), so a layout/plan change can
+refresh the rows it touched without a full re-run.
 """
 
 from __future__ import annotations
@@ -88,9 +92,16 @@ def main() -> None:
     if base_path.exists():
         base = json.loads(base_path.read_text()).get("queries", {})
 
+    only = (
+        set(sys.argv[sys.argv.index("--only") + 1 :])
+        if "--only" in sys.argv
+        else set()
+    )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             q.spark_fn(spark, SF1).write.format("noop").mode(
@@ -104,6 +115,23 @@ def main() -> None:
         finally:
             release_caches()
             spark.catalog.clearCache()
+
+    path = REPO / "tools" / "bench_full_sf1.json"
+    if only and path.exists():
+        # targeted refresh: merge into the committed artifact; refreshed
+        # entries REPLACE priors so a change's new wall is recorded even
+        # when slower (mirrors bench_full_sf10.py)
+        prior = json.loads(path.read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(timings)
+        timings = merged
+        errors = {
+            **{k: v for k, v in prior.get("errors", {}).items()
+               if k not in only},
+            **errors,
+        }
+
+    from tools.check_correctness import corpus_fingerprint
 
     slopes = {
         n: round(t / base[n], 2)
@@ -125,6 +153,7 @@ def main() -> None:
             "Spark's fixed per-job floor, not data."
         ),
         "sf1_dir": SF1,
+        "corpus_fingerprint": corpus_fingerprint(SF1),
         "cpus": CPUS,
         "canary_groupby_sec": canary,
         "suite_seconds": round(sum(timings.values()), 3),
@@ -135,7 +164,6 @@ def main() -> None:
         "slopes": dict(sorted(slopes.items(), key=lambda kv: -kv[1])),
         "queries": timings,
     }
-    path = REPO / "tools" / "bench_full_sf1.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     shutil.rmtree(art_dir, ignore_errors=True)
     print(json.dumps({

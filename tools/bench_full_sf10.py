@@ -67,6 +67,12 @@ SKIP = {
 }
 
 
+def _fp() -> str:
+    from tools.check_correctness import corpus_fingerprint
+
+    return corpus_fingerprint(SF10)
+
+
 def _arg(flag: str, default: int) -> int:
     return (
         int(sys.argv[sys.argv.index(flag) + 1])
@@ -241,6 +247,7 @@ def main() -> None:
             "diagnosis in the module docstring."
         ),
         "sf10_dir": SF10,
+        "corpus_fingerprint": _fp(),
         "cpus": CPUS,
         "protocol": f"min over {runs} runs, {cap:.0f}s per-query cap",
         "runs": all_runs,
