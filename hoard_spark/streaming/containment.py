@@ -88,7 +88,7 @@ _PAIR_SCHEMA = (
 )
 
 
-def ranked_gram_rows(docs: DataFrame) -> DataFrame:
+def ranked_gram_rows(docs: DataFrame, width: int = 3) -> DataFrame:
     """(doc_id, text, …) → (g, doc_id, r, n): distinct hashed grams per
     doc, ranked under the fixed universal order (g ascending)."""
     from pyspark.sql import Window
@@ -97,7 +97,7 @@ def ranked_gram_rows(docs: DataFrame) -> DataFrame:
     # once, so n/r/inter all speak the same hashed-set algebra (a
     # collision can merge grams — a conservative, verify-checked effect —
     # but never double-count one)
-    rows = gram_hashes(docs).distinct()
+    rows = gram_hashes(docs, width=width).distinct()
     w = Window.partitionBy("doc_id").orderBy("g")
     return rows.select(
         "g",
@@ -120,12 +120,22 @@ class ContainmentIndex:
         path: str,
         threshold: float = 0.9,
         min_size: int = 5,
+        width: int = 3,
     ):
+        """``width`` is the gram width — the saturated-domain scale knob
+        (see gram_hashes): on a closed vocabulary the default 3-gram
+        domain saturates, per-gram df grows with the store, and the
+        prefix-bounded meetings go quadratic regardless of plan (the
+        sf10 streaming run ENOSPC'd mid-store exactly like batch q98);
+        width=5 keeps df flat and is the declared scale path. A store
+        must be read with the width it was written with — the store
+        never records gram text, so widths must not be mixed."""
         if not 0.0 < threshold <= 1.0:
             raise ValueError(f"threshold must be in (0, 1]: {threshold}")
         self.spark = spark
         self.threshold = threshold
         self.min_size = min_size
+        self.width = width
         self.path = path.rstrip("/")
         self.post_path = f"{self.path}/postings"
         self.pair_path = f"{self.path}/pairs"
@@ -241,7 +251,7 @@ class ContainmentIndex:
         (module docstring: no store-wide shuffle anywhere in the batch
         path). ``batch_id`` must identify the logical batch stably
         across replays — exactly what ``foreachBatch`` provides."""
-        rows0 = ranked_gram_rows(docs).persist()
+        rows0 = ranked_gram_rows(docs, width=self.width).persist()
         rows = rows0
         try:
             # Guard the append-only store invariant (ADVICE r9): a doc_id

@@ -51,12 +51,15 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
-def shingle_rows_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, …) → one row per distinct word-3-gram (doc_id, s).
+def shingle_rows_of(docs: DataFrame, width: int = 3) -> DataFrame:
+    """(doc_id, text, …) → one row per distinct word-``width``-gram
+    (doc_id, s).
 
     Same codegen shape as the batch family (posexplode + window lead +
     distinct; see hoard_spark/queries/llm.py::_shingle_rows) but over an
     arbitrary (doc_id, text) frame instead of the sf_dir table.
+    ``width`` is the saturated-domain scale knob (the batch family's
+    shingle_rows_of doc explains the V^width df argument).
     """
     from pyspark.sql import Window
 
@@ -65,16 +68,17 @@ def shingle_rows_of(docs: DataFrame) -> DataFrame:
         F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    t2 = F.lead("tok", 2).over(w)
+    last = F.lead("tok", width - 1).over(w)
     return (
         toks.select(
             "doc_id",
             F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+                " ", "tok",
+                *[F.lead("tok", i).over(w) for i in range(1, width)],
             ).alias("s"),
-            t2.alias("t2"),
+            last.alias("_last"),
         )
-        .where(F.col("t2").isNotNull())
+        .where(F.col("_last").isNotNull())
         .select("doc_id", "s")
         .distinct()
     )

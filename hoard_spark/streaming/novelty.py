@@ -59,11 +59,16 @@ _SCORE_SCHEMA = (
 )
 
 
-def gram_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, …) → (doc_id, g): one row per distinct word-3-gram,
-    hashed to a long. Docs with <3 tokens yield no rows (no grams — they
-    carry no novelty signal, matching the batch q95's token gate)."""
-    return shingle_rows_of(docs).select(
+def gram_hashes(docs: DataFrame, width: int = 3) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, g): one row per distinct word-``width``
+    gram, hashed to a long. Docs with <width tokens yield no rows (no
+    grams — they carry no novelty signal, matching the batch q95's token
+    gate at the default). ``width`` is the saturated-domain scale knob
+    (see shingle_rows_of): on a closed vocabulary the w^3 gram domain
+    saturates and per-gram df grows with the corpus, so posting joins go
+    quadratic; width 5 keeps df flat (the batch family's declared scale
+    path, tools/bench_containment_w5.json)."""
+    return shingle_rows_of(docs, width=width).select(
         "doc_id", F.xxhash64("s", F.lit(_GRAM_SEED)).alias("g")
     )
 

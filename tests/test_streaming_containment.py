@@ -221,3 +221,45 @@ def test_reingest_conflict_raises(spark, index):
     assert index.postings().count() == store_before
     index.process_batch(_to_df(spark, [_doc(1, "a")]), batch_id=2)  # replay
     assert index.postings().count() == store_before
+
+
+def test_width5_store_finds_cross_batch_truncation(spark, tmp_path):
+    """The gram-width knob (r13): width=5 is the declared scale path for
+    saturated gram domains (the sf10 width-3 run ENOSPC'd exactly like
+    batch q98). The w5 store must still surface a planted cross-batch
+    truncation, and its stream union must equal the batch
+    containment_join over the SAME width-5 hashed gram rows."""
+    from hoard_spark.simjoin import containment_join
+    from hoard_spark.streaming.containment import (
+        ContainmentIndex,
+        ranked_gram_rows,
+    )
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(20)
+    ]
+    # doc 100 = first 8 tokens of doc 0 -> 4 distinct 5-grams, all in doc 0
+    docs.append((100, " ".join(f"w{j}" for j in range(0, 8))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    index = ContainmentIndex(
+        spark, str(tmp_path / "w5"), threshold=0.9, min_size=2, width=5
+    )
+    index.process_batch(df.where("doc_id < 50"), batch_id=0)
+    index.process_batch(df.where("doc_id >= 50"), batch_id=1)
+
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+        for r in index.pairs().collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["na"], r["nb"])
+        for r in containment_join(
+            ranked_gram_rows(df, width=5).select("doc_id", "g"),
+            0.9,
+            set_col="g",
+            min_size=2,
+        ).collect()
+    }
+    assert got == want
+    assert (100, 0) in got, got

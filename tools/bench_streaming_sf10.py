@@ -124,9 +124,28 @@ def main() -> None:
         lambda: nv.grams().count(), f"{root}/novelty",
     )
 
-    ct = ContainmentIndex(spark, f"{root}/containment", threshold=0.9)
+    # width-3 containment is SKIPPED at sf10 with its diagnosis: the
+    # closed 31-word testdata vocabulary saturates the 3-gram domain, so
+    # per-gram df grows with the store and the prefix meetings go
+    # quadratic regardless of plan — the first sf10 attempt (r13, this
+    # harness) spilled ~77 GB and died ENOSPC mid-store (~batch 5/10,
+    # store ~13M postings), exactly the batch q98 pathology. The width-5
+    # store (domain ~28.6M, df flat) is the declared scale path,
+    # mirroring tools/bench_containment_w5.json for the batch family.
+    out["stores"]["containment_w3"] = {
+        "skipped": (
+            "ENOSPC at sf10 (~77 GB spill, died ~batch 5/10): 3-gram "
+            "domain saturated on the closed test vocabulary, df grows "
+            "with the store => per-batch candidates ~batch_df x "
+            "store_df ~ N^2; width-5 control below is the scale path "
+            "(same treatment as batch q98)"
+        ),
+    }
+    ct = ContainmentIndex(
+        spark, f"{root}/containment", threshold=0.9, width=5
+    )
     drive(
-        "containment", ct, docs, "doc_id", n_docs,
+        "containment_w5", ct, docs, "doc_id", n_docs,
         lambda: ct.postings().count(), f"{root}/containment",
     )
 
