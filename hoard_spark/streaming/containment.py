@@ -140,6 +140,48 @@ class ContainmentIndex:
         self.post_path = f"{self.path}/postings"
         self.pair_path = f"{self.path}/pairs"
         self.docfp_path = f"{self.path}/docfp"
+        self._recover()
+
+    def _recover(self) -> None:
+        """Finish any compaction that crashed mid-apply (roll-forward
+        from its manifest — see streaming.compact). One existence probe
+        per store when nothing is pending."""
+        from hoard_spark.streaming.compact import recover
+
+        for root in (self.post_path, self.docfp_path, self.pair_path):
+            recover(self.spark, root)
+
+    def compact(self, target_files: int = 32) -> dict:
+        """Fold committed ``batch=<id>`` posting/fingerprint directories
+        into one consolidated partition and consolidate the pair store's
+        appended files — the file-count maintenance the r13 sf10
+        streaming artifact flagged (~93 posting files per batch, i.e.
+        tasks x batches growth at 100+ batches). Row-multiset identical;
+        replay-safe (the newest batch's directory is never folded). Run
+        between batches, like ``AnnIndexStore.maintain``."""
+        from hoard_spark.streaming.compact import (
+            compact_flat,
+            compact_partitioned,
+        )
+
+        post_schema = T.StructType(
+            _POST_SCHEMA.fields + [T.StructField("batch", T.IntegerType())]
+        )
+        return {
+            "postings": compact_partitioned(
+                self.spark, self.post_path, post_schema, target_files
+            ),
+            "docfp": compact_partitioned(
+                self.spark,
+                self.docfp_path,
+                "doc_id long, _c0 long, _x0 long, _s0 decimal(38,0), "
+                "batch int",
+                1,
+            ),
+            "pairs": compact_flat(
+                self.spark, self.pair_path, _PAIR_SCHEMA, target_files
+            ),
+        }
 
     # -- store ------------------------------------------------------------
     def _read_or_empty(self, path: str, schema) -> DataFrame:

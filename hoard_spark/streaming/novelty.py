@@ -85,6 +85,25 @@ class NoveltyIndex:
         self.path = path.rstrip("/")
         self.gram_path = f"{self.path}/grams"
         self.score_path = f"{self.path}/scores"
+        from hoard_spark.streaming.compact import recover
+
+        for root in (self.gram_path, self.score_path):
+            recover(spark, root)
+
+    def compact(self, target_files: int = 32) -> dict:
+        """Consolidate the per-batch appended files (tasks x batches
+        growth) — row-multiset identical, crash-safe via the manifest
+        protocol in streaming.compact. Run between batches."""
+        from hoard_spark.streaming.compact import compact_flat
+
+        return {
+            "grams": compact_flat(
+                self.spark, self.gram_path, _GRAM_SCHEMA, target_files
+            ),
+            "scores": compact_flat(
+                self.spark, self.score_path, _SCORE_SCHEMA, target_files
+            ),
+        }
 
     # -- store ------------------------------------------------------------
     def _read_or_empty(self, path: str, schema) -> DataFrame:

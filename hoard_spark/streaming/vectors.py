@@ -126,6 +126,28 @@ class VectorDupIndex:
         self.seed = seed
         self.sig_path = f"{self.path}/signatures"
         self.match_path = f"{self.path}/matches"
+        from hoard_spark.streaming.compact import recover
+
+        for root in (self.sig_path, self.match_path):
+            recover(spark, root)
+
+    def compact(self, target_files: int = 32) -> dict:
+        """Consolidate the per-batch appended files (tasks x batches
+        growth) — row-multiset identical, crash-safe via the manifest
+        protocol in streaming.compact. Run between batches."""
+        from hoard_spark.streaming.compact import compact_flat
+
+        return {
+            "signatures": compact_flat(
+                self.spark, self.sig_path, _SIG_SCHEMA, target_files
+            ),
+            "matches": compact_flat(
+                self.spark,
+                self.match_path,
+                "new_id long, matched_id long, est_cos double, batch long",
+                target_files,
+            ),
+        }
 
     # -- store ------------------------------------------------------------
     def signatures(self) -> DataFrame:
