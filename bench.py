@@ -176,6 +176,31 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    def _canary() -> float:
+        """Fixed lineitem groupBy — the host-wave probe from the
+        measurement discipline (SURVEY §6): full-speed ~0.4-0.6 s at
+        sf0.1, degraded windows read 2-4x that. Captured before and
+        after the timed suite so every artifact self-describes the
+        window it was measured in (waves arrive on minute timescales —
+        a mid-run arrival shows as pre/post divergence)."""
+        t0 = time.time()
+        (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return round(time.time() - t0, 3)
+
+    def _loadavg() -> "list[float] | None":
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except (OSError, ValueError):
+            return None
+
+    canary_pre = {"groupby_sec": _canary(), "loadavg": _loadavg()}
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     duck: dict[str, float] = {}
@@ -218,6 +243,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             return {"error": f"{type(e).__name__}: {e}"[:500]}
 
+    canary_post = {"groupby_sec": _canary(), "loadavg": _loadavg()}
+
     ingest = _safe(_bench_ingest, spark)
     wimport = _safe(_bench_whisper_import, spark)
 
@@ -248,6 +275,7 @@ def main() -> None:
         "suite_ratio": suite_ratio,
         "ingest": ingest,
         "whisper_import": wimport,
+        "canary": {"pre": canary_pre, "post": canary_post},
         "notes": NOTES,
         "sf": sf_of(SF_DIR),
     }
@@ -290,6 +318,10 @@ def main() -> None:
                 "ratio_worst10": {short(n): r for n, r in worst10.items()},
                 "ingest_rows_per_sec": (ingest or {}).get("rows_per_sec"),
                 "whisper_slots_per_sec": (wimport or {}).get("slots_per_sec"),
+                "canary_groupby_pre_post": [
+                    canary_pre["groupby_sec"],
+                    canary_post["groupby_sec"],
+                ],
                 "full": (
                     str(full_path.relative_to(REPO))
                     if full_path.is_relative_to(REPO)
