@@ -69,7 +69,23 @@ def recover(spark: SparkSession, root: str) -> bool:
     mp = _manifest(root)
     if not fs.exists(mp):
         return False
-    m = json.loads(fs.read_bytes(mp).decode("utf-8"))
+    try:
+        m = json.loads(fs.read_bytes(mp).decode("utf-8"))
+    except ValueError:
+        # Truncated by a crash MID-WRITE: the manifest is the commit
+        # point and it never finished, so nothing was applied — discard
+        # it and the (invisible) staging dir; the store is untouched.
+        import warnings
+
+        warnings.warn(
+            f"discarding corrupt compaction manifest at {mp} "
+            "(crash before commit point; store left as-is)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        fs.rmtree(mp)
+        fs.rmtree(_staging(root))
+        return False
     _apply(fs, root, m)
     return True
 

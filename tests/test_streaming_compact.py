@@ -252,3 +252,19 @@ def test_file_uri_rooted_store_compacts(spark, tmp_path):
         if d.startswith("batch=")
     )
     assert dirs == ["batch=-1", "batch=2"]
+
+
+def test_corrupt_manifest_is_discarded(spark, tmp_path):
+    """A crash mid-manifest-write (truncated JSON) means the commit
+    point was never reached: recover discards manifest + staging and
+    leaves the store untouched instead of raising forever."""
+    idx = NoveltyIndex(spark, str(tmp_path / "ng"))
+    idx.process_batch(_docs(spark, 0, 10), 0)
+    grams = {tuple(r) for r in idx.grams().collect()}
+    mani = str(tmp_path / "ng/grams/_compact_manifest.json")
+    with open(mani, "w") as f:
+        f.write('{"kind": "flat", "dele')  # truncated
+    with pytest.warns(RuntimeWarning, match="corrupt compaction"):
+        assert recover(spark, idx.gram_path) is False
+    assert not os.path.exists(mani)
+    assert {tuple(r) for r in idx.grams().collect()} == grams
