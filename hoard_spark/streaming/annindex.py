@@ -105,6 +105,40 @@ class AnnIndexStore:
         self._model: tuple[list, list] | None = None
         self._model_batch: int | None = None
         self._model_version: int | None = None
+        from hoard_spark.fsutil import WarehouseFS
+        from hoard_spark.streaming.compact import recover
+
+        # versioned table dirs (table, table_v2, ...) are discovered by
+        # listing: the current version is only known after a model read
+        fs = WarehouseFS(spark)
+        roots = [
+            f"{self.path}/{n}"
+            for n in fs.listdir(self.path)
+            if n == "table" or n.startswith("table_v")
+        ] or [self.table_path]
+        for root in (*roots, self.stats_path):
+            recover(spark, root)
+
+    def compact(self, target_files: int = 32) -> dict:
+        """Consolidate the current-version table's per-batch appended
+        files and the one-file-per-batch stats table — row-multiset
+        identical (read-side dropDuplicates semantics untouched),
+        crash-safe via the manifest protocol in streaming.compact. Run
+        between batches, like ``maintain``. Superseded table versions
+        are ``maintain``'s cleanup concern, not compaction's."""
+        from hoard_spark.streaming.compact import compact_flat
+
+        return {
+            "table": compact_flat(
+                self.spark,
+                self._table_path(),
+                self._TABLE_SCHEMA,
+                target_files,
+            ),
+            "stats": compact_flat(
+                self.spark, self.stats_path, _STATS_SCHEMA, target_files
+            ),
+        }
 
     # -- store ------------------------------------------------------------
     def _read_or_empty(self, path: str, schema) -> DataFrame:

@@ -268,3 +268,43 @@ def test_corrupt_manifest_is_discarded(spark, tmp_path):
         assert recover(spark, idx.gram_path) is False
     assert not os.path.exists(mani)
     assert {tuple(r) for r in idx.grams().collect()} == grams
+
+
+def test_annindex_compact_preserves_table_and_search(spark, tmp_path):
+    """The ANN index store's per-batch table appends consolidate with
+    identical read-side semantics (dropDuplicates winner unchanged) and
+    bounded file count; stats rows survive byte-identically."""
+    import random
+
+    from hoard_spark.streaming.annindex import AnnIndexStore
+
+    rng = random.Random(7)
+
+    def vecs(lo, hi):
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    idx = AnnIndexStore(spark, str(tmp_path / "ann"), k=2, m=2, ks=4)
+    for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        idx.process_batch(vecs(lo, hi), i)
+    table = {
+        (r["vec_id"], r["cell"], r["pq"]) for r in idx.table().collect()
+    }
+    stats = {tuple(r) for r in idx.stats().collect()}
+    files_before = store_file_count(spark, idx._table_path())
+    res = idx.compact(target_files=2)
+    assert "files_after" in res["table"]
+    assert {
+        (r["vec_id"], r["cell"], r["pq"]) for r in idx.table().collect()
+    } == table
+    assert {tuple(r) for r in idx.stats().collect()} == stats
+    assert store_file_count(spark, idx._table_path()) < files_before
+
+    # a restart over the compacted store keeps processing
+    idx2 = AnnIndexStore(spark, str(tmp_path / "ann"), k=2, m=2, ks=4)
+    idx2.process_batch(vecs(120, 160), 3)
+    assert idx2.table().count() == 160
