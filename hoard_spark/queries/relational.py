@@ -2110,3 +2110,147 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(present_sorted, "probe")
     )
+
+
+# --------------------------------------------------------------------------
+# data quality: profiling + constraint validation (hoard_spark/quality.py)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+_PROFILE_NUM = {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def _profile_oracle() -> str:
+    stats = ["COUNT(*) AS _n"]
+    arms = []
+    for i, c in enumerate(_PROFILE_COLS):
+        stats += [f"COUNT({c}) AS c{i}", f"COUNT(DISTINCT {c}) AS d{i}"]
+        if c in _PROFILE_NUM:
+            stats += [
+                f"CAST(MIN({c}) AS DOUBLE) AS mn{i}",
+                f"CAST(MAX({c}) AS DOUBLE) AS mx{i}",
+                f"CAST(ROUND(CAST(CAST(SUM(CAST({c} AS DECIMAL(25,10)))"
+                f" AS DOUBLE) / COUNT({c}) AS DECIMAL(25,10)), 4)"
+                f" AS DOUBLE) AS av{i}",
+            ]
+            mn, mx, av = f"mn{i}", f"mx{i}", f"av{i}"
+        else:
+            mn = mx = av = "CAST(NULL AS DOUBLE)"
+        arms.append(
+            f"SELECT '{c}' AS col, _n - c{i} AS n_nulls,"
+            f" d{i} AS n_distinct, {mn} AS min_num, {mx} AS max_num,"
+            f" {av} AS mean_num FROM w"
+        )
+    return (
+        "WITH w AS (SELECT " + ", ".join(stats) + " FROM orders)\n"
+        "SELECT * FROM (" + " UNION ALL ".join(arms) + ") ORDER BY col"
+    )
+
+
+@query(
+    "q101_profile",
+    "single-pass per-column table profile: nulls, exact distinct, "
+    "numeric min/max/mean",
+    _profile_oracle(),
+    "training-data pipeline: dataset-version gating (deequ-style "
+    "analyzer battery, hoard_spark/quality.py) — profile every column "
+    "in ONE scan",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin wrapper over ``quality.profile_columns`` (the q38 pattern:
+    conformance twin of the library surface). ONE aggregate node over
+    the table: Catalyst rewrites the multi-column exact-distinct
+    battery into a single Expand + two-phase aggregate — one scan, no
+    per-column jobs — and the bounded wide row explodes to long form.
+    Exact distinct is the conformance semantics; ``approx=True`` (HLL)
+    is the declared extreme-cardinality scale path, pinned within 5% by
+    tests (the q56 exact-twin/approx-path split)."""
+    from hoard_spark.quality import profile_columns
+
+    return profile_columns(
+        load(spark, sf_dir, "orders"), _PROFILE_COLS
+    ).transform(present_sorted, "col")
+
+
+_INTEGRITY_ORACLE = """
+SELECT * FROM (
+  SELECT 'unique(o_orderkey)' AS chk,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations
+  FROM orders WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT 'not_null(o_custkey)', COUNT(*) FROM orders
+  WHERE o_custkey IS NULL
+  UNION ALL
+  SELECT 'references(o_custkey->c_custkey)', COUNT(*) FROM orders o
+  WHERE o_custkey IS NOT NULL AND NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'references(l_orderkey->o_orderkey)', COUNT(*) FROM lineitem l
+  WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'in_range(l_quantity,1,50)', COUNT(*) FROM lineitem
+  WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)
+  UNION ALL
+  SELECT 'in_range(c_acctbal,0,10000)', COUNT(*) FROM customer
+  WHERE c_acctbal IS NOT NULL AND (c_acctbal < 0 OR c_acctbal > 10000)
+  UNION ALL
+  SELECT 'net_price_positive', COUNT(*) FROM lineitem
+  WHERE NOT COALESCE(l_extendedprice * (1 - l_discount) > 0, FALSE)
+) ORDER BY chk
+"""
+
+
+@query(
+    "q102_integrity",
+    "declarative constraint checklist: uniqueness, nullability, "
+    "referential integrity, ranges — one violation count per check",
+    _INTEGRITY_ORACLE,
+    "training-data pipeline: dataset contract validation (deequ-style "
+    "verification suite, hoard_spark/quality.py)",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin wrapper over ``quality.validate``: each check is a plain
+    filter/aggregate; the referential checks are key anti joins (the
+    q12 shape — shuffle-partitioned at scale, broadcast when the parent
+    side is bounded, Catalyst/AQE's call). The union of 1-row
+    aggregates executes as one plan."""
+    from hoard_spark.quality import (
+        in_range,
+        not_null,
+        references,
+        satisfies,
+        unique,
+        validate,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    checks = [
+        unique(orders, "o_orderkey"),
+        not_null(orders, "o_custkey"),
+        references(
+            orders, "o_custkey", customer, "c_custkey",
+            name="references(o_custkey->c_custkey)",
+        ),
+        references(
+            lineitem, "l_orderkey", orders, "o_orderkey",
+            name="references(l_orderkey->o_orderkey)",
+        ),
+        in_range(lineitem, "l_quantity", 1, 50),
+        in_range(customer, "c_acctbal", 0, 10000),
+        satisfies(
+            lineitem,
+            "net_price_positive",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))) > 0,
+        ),
+    ]
+    return (
+        validate(checks)
+        .select(F.col("constraint").alias("chk"), "violations")
+        .transform(present_sorted, "chk")
+    )

@@ -375,6 +375,7 @@ FUNNELED = [
     "q89_fuzzy_probe", "q91_ann_ivfpq", "q92_ann_filtered",
     "q93_ann_lsh", "q94_label_outliers", "q97_mixture_weights",
     "q98_containment_dedup", "q99_ann_recall", "q100_ann_recall_paths",
+    "q101_profile", "q102_integrity",
 ]
 
 # The COMPLETE distributed-sort list: corpus-sized outputs (per-doc /
