@@ -367,6 +367,99 @@ def encode_pq(
     return n.withColumn("pq", packed)
 
 
+def assign_encode_batch(
+    n: DataFrame,
+    cents: "list[tuple[int, list[float]]]",
+    books: "list[list[list[float]]]",
+) -> DataFrame:
+    """``encode_pq(assign_cells(n, cents), books)`` as ONE Arrow batch
+    pass — the index-BUILD twin of the expression path, bit-identical
+    by construction (pinned by tests/test_ann.py).
+
+    Why: the expression form evaluates k + m*ks higher-order-function
+    folds per row, and Catalyst runs ``transform``/``aggregate``/
+    ``zip_with`` lambdas INTERPRETED (no whole-stage codegen) over
+    literal trees of ~1.5k doubles — measured 2.1 s for a 2,080-row
+    corpus at sf0.1, i.e. almost pure per-row interpreter overhead, plus
+    ~1 s of codegen/plan cost per cold build. Handing whole Arrow
+    batches to numpy does the same arithmetic vectorized (guide §4.2);
+    the model matrices load once per task, not once per row.
+
+    Bit-identical arithmetic, not just equivalent: numpy would normally
+    pairwise-sum, so every fold below loops over the SMALL axis (dim /
+    subspace width) accumulating left-to-right across the row axis —
+    exactly the ``aggregate(zip_with(...))`` evaluation order — in
+    float64 end to end:
+
+    - sims[c] = ((0 + c0*v0) + c1*v1) + ... then / nrm  → ascending-j
+      ``acc = acc + C[c, j] * V[:, j]``;
+    - cell = first index of the max (``array_position(.., array_max)``
+      ↔ ``np.argmax`` first-occurrence);
+    - unit = elementwise v / nrm;
+    - per-subspace distances fold ``acc + (cw_t - unit_t)*(cw_t -
+      unit_t)`` ascending t; code = first argmin; pq = Σ code_j << 4j
+      in int64.
+
+    Only the materialized-index BUILD uses this (the artifact is parquet
+    either way, so consumer query plans stay pure-JVM and the
+    no-Python-UDF plan audit is untouched); the expression path remains
+    the in-plan form for searches and the equivalence pin.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    C_rows = [list(map(float, v)) for _, v in cents]
+    B_rows = [[[float(x) for x in cw] for cw in bj] for bj in books]
+    out_schema = StructType(
+        list(n.schema.fields)
+        + [
+            StructField("cell", IntegerType(), True),
+            StructField("pq", LongType(), True),
+        ]
+    )
+    cols = [f.name for f in n.schema.fields]
+
+    def _assign_encode(pdf_iter):
+        import numpy as np
+
+        C = np.array(C_rows, dtype=np.float64)  # (k, dim)
+        B = np.array(B_rows, dtype=np.float64)  # (m, ks, d)
+        k, dim = C.shape
+        m, ks, d = B.shape
+        for pdf in pdf_iter:
+            rows = len(pdf)
+            if rows == 0:
+                pdf["cell"] = np.array([], dtype=np.int32)
+                pdf["pq"] = np.array([], dtype=np.int64)
+                yield pdf[cols + ["cell", "pq"]]
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)  # (rows, dim)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            sims = np.empty((rows, k), dtype=np.float64)
+            for c in range(k):
+                acc = np.zeros(rows, dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + C[c, j] * V[:, j]
+                sims[:, c] = acc / nrm
+            cell = np.argmax(sims, axis=1).astype(np.int32)
+            unit = V / nrm[:, None]
+            pq = np.zeros(rows, dtype=np.int64)
+            for j in range(m):
+                dists = np.empty((rows, ks), dtype=np.float64)
+                for c in range(ks):
+                    acc = np.zeros(rows, dtype=np.float64)
+                    for t in range(d):
+                        diff = B[j, c, t] - unit[:, j * d + t]
+                        acc = acc + diff * diff
+                    dists[:, c] = acc
+                code = np.argmin(dists, axis=1).astype(np.int64)
+                pq = pq + (code << (4 * j))
+            pdf["cell"] = cell
+            pdf["pq"] = pq
+            yield pdf[cols + ["cell", "pq"]]
+
+    return n.mapInPandas(_assign_encode, out_schema)
+
+
 def _lit_cube(rows: "list[list[list[float]]]") -> Column:
     """Literal array<array<array<double>>> — one parsed SQL string (see
     ``_lit_vec``); builder-API fallback for non-finite values."""
@@ -774,7 +867,11 @@ def materialized_index(
         _MODEL_MEMO[memo_key] = (cents, books)
 
     def build_table() -> DataFrame:
-        return encode_pq(assign_cells(corpus_n(), cents), books)
+        # Arrow-batch assign+encode: bit-identical to
+        # encode_pq(assign_cells(...)) (pinned by tests/test_ann.py) but
+        # without the per-row interpreted-HOF evaluation and the ~2 s of
+        # literal-tree plan/codegen cost per cold build (r13 A/B).
+        return assign_encode_batch(corpus_n(), cents, books)
 
     table = get_or_build(
         spark, sf_dir, f"{name}_table", tables, build_table

@@ -135,6 +135,32 @@ def test_pq_codes_pack_into_one_word(spark, emb):
     assert enc.select("pq").distinct().count() > enc.count() // 2
 
 
+def test_assign_encode_batch_bit_identical(spark, emb):
+    """The Arrow-batch index-build pass (r13 optimization — replaces the
+    interpreted-HOF expression battery in ``materialized_index``) must
+    reproduce ``encode_pq(assign_cells(...))`` EXACTLY: same cell, same
+    packed pq word, per vector — the numpy folds accumulate in the same
+    left-to-right order, so equality is bitwise, not approximate."""
+    from hoard_spark.ann import assign_encode_batch
+
+    n = normalized(emb, keep=["label"])
+    cents = train_centroids(n)
+    books = train_pq_codebooks(n)
+    expr_rows = {
+        r["vec_id"]: (r["cell"], r["pq"], r["label"])
+        for r in encode_pq(assign_cells(n, cents), books)
+        .select("vec_id", "cell", "pq", "label")
+        .collect()
+    }
+    batch_rows = {
+        r["vec_id"]: (r["cell"], r["pq"], r["label"])
+        for r in assign_encode_batch(n, cents, books)
+        .select("vec_id", "cell", "pq", "label")
+        .collect()
+    }
+    assert expr_rows == batch_rows and len(expr_rows) == emb.count()
+
+
 def test_pq_planted_clone_is_exact_top1(spark, emb):
     """The q91 conformance contract at library level: an exact clone's
     source must come back as top-1 with cos == 1.0 from the 4-bit-code
