@@ -76,14 +76,23 @@ def shingle_rows_of(
     """documents DataFrame → one row per DISTINCT word-``width``-gram
     shingle: (doc_id, lang, source, s).
 
-    Fully whole-stage-codegen: posexplode tokens, window ``lead`` to form
-    the n-gram, hash-distinct — replacing the interpreted
-    ``transform(sequence, … concat_ws)`` higher-order array build, which
-    dominated every shingle query (measured 5.4 s → 0.7 s for the
-    explode+hash stage at sf0.1). Every consumer (MinHash signatures, the
-    inverted index, intersection counting) wants exploded rows anyway, so
-    no arrays are ever materialized. Docs with <width tokens yield no
-    rows, matching the oracle's ``len(toks) >= 3`` gate at the default.
+    Shuffle-free gram formation: ``arrays_zip`` of ``width`` shifted
+    ``slice``s of the token array, then ONE posexplode — each row of the
+    zip IS the n-gram starting at that position, so no window is needed
+    at all. The previous ``posexplode + lead().over(doc window)`` shape
+    paid a full Exchange+sort of every token row just to see the next
+    ``width-1`` tokens, which sit in the same source array anyway;
+    removing that exchange measured 0.92 → 0.65 s for the
+    explode+min-pos stage at sf0.1 (min-of-6, faster in every pair), and
+    at scale it deletes the corpus-sized token shuffle outright (guide
+    §2.4). The gram groupBy/distinct shuffle that follows is unchanged.
+    (The interpreted ``transform(sequence, … concat_ws)`` higher-order
+    build, replaced in r8, measured 5.4 s — the zip is codegen-friendly
+    per doc, not per gram.) Every consumer (MinHash signatures, the
+    inverted index, intersection counting) wants exploded rows anyway,
+    so no gram arrays are ever materialized. Docs with <width tokens
+    yield no rows, matching the oracle's ``len(toks) >= 3`` gate at the
+    default.
 
     ``width`` matters at scale: on a CLOSED vocabulary (V words) the
     n-gram domain is V^width, and per-shingle document frequency — the
@@ -100,27 +109,28 @@ def shingle_rows_of(
     which lets truncation-derived corpora (q98) be pure FILTERS of the
     materialized shingle artifact instead of a re-shingling pass.
     """
-    from pyspark.sql import Window
-
-    toks = spread(docs).select(
-        "doc_id",
-        "lang",
-        "source",
-        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    toks = F.split(F.trim("text"), " +")
+    cnt = F.size(toks) - (width - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + i, cnt) for i in range(width)])
+    rows = (
+        spread(docs)
+        .where(F.size(toks) >= width)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.posexplode(zipped).alias("pos", "_z"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(
+                " ", *[F.col("_z")[str(i)] for i in range(width)]
+            ).alias("s"),
+            "pos",
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    last = F.lead("tok", width - 1).over(w)
-    gram = F.concat_ws(
-        " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, width)]
-    )
-    rows = toks.select(
-        "doc_id",
-        "lang",
-        "source",
-        gram.alias("s"),
-        last.alias("_last"),
-        "pos",
-    ).where(F.col("_last").isNotNull())
     if with_pos:
         return rows.groupBy("doc_id", "lang", "source", "s").agg(
             F.min("pos").alias("pos")
