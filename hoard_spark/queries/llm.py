@@ -2687,28 +2687,25 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal — docs dominated by repeated n-grams are boilerplate)",
 )
 def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same codegen shape as _shingle_rows (posexplode + window lead)
-    but WITHOUT the distinct — duplicates are the signal here. One
-    narrow explode, one per-doc hash aggregate; no joins, so the plan
-    is embarrassingly parallel at any corpus size."""
-    from pyspark.sql import Window
-
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    """Same shuffle-free zip-slice gram shape as shingle_rows_of but
+    WITHOUT the distinct — duplicates are the signal here (the r13
+    rewrite removed the posexplode+lead window's full token shuffle from
+    this family). One narrow explode, one per-doc hash aggregate; no
+    joins, so the plan is embarrassingly parallel at any corpus size."""
+    toks = F.split(F.trim("text"), " +")
+    zipped = F.arrays_zip(
+        *[F.slice(toks, 1 + i, F.size(toks) - 2) for i in range(3)]
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    t2 = F.lead("tok", 2).over(w)
     grams = (
-        toks.select(
+        load(spark, sf_dir, "documents")
+        .where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(zipped).alias("_z"))
+        .select(
             "doc_id",
             F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), t2
+                " ", F.col("_z")["0"], F.col("_z")["1"], F.col("_z")["2"]
             ).alias("s"),
-            t2.alias("t2"),
         )
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", "s")
     )
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_grams")
     return (
@@ -3045,22 +3042,22 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hot word's fan-in is bounded by the distinct-bigram table,
     not token count; they broadcast here, and fall back to a shuffle
     dimension join when a giant vocab outgrows the broadcast budget.
-    The doc-side bigram stream is the same posexplode + lead shape as
-    the shingle family — no arrays materialized, all codegen."""
-    from pyspark.sql import Window
-
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    The doc-side bigram stream is the same shuffle-free zip-slice shape
+    as the shingle family (r13: no token-shuffle window)."""
+    toks = F.split(F.trim("text"), " +")
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
-        toks.select(
+        load(spark, sf_dir, "documents")
+        .where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(zipped).alias("_z"))
+        .select(
             "doc_id",
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
+            F.col("_z")["0"].alias("w1"),
+            F.col("_z")["1"].alias("w2"),
         )
-        .where(F.col("w2").isNotNull())
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     ugc = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -3115,9 +3112,9 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-span statistics: how many of a doc's 8-gram
     token spans also occur in at least one OTHER document.
 
-    Shape (the exact-substring-dedup standard at scale): posexplode +
-    window ``lead`` streams spans without materializing arrays (the
-    shingle-family plan); then ONE exact pre-aggregation on
+    Shape (the exact-substring-dedup standard at scale): the zip-slice
+    explode streams spans with no token shuffle (the shingle-family
+    plan, r13); then ONE exact pre-aggregation on
     (gram, doc_id) — the unavoidable shuffle of an exact dedup, with
     map-side combine compressing within-doc repeats — and the
     cross-document count rides a window over the pre-aggregated
@@ -3130,21 +3127,20 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-repetition (q65 covers that)."""
     from pyspark.sql import Window
 
-    toks = spread(load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
+    toks = F.split(F.trim("text"), " +")
+    zipped = F.arrays_zip(
+        *[F.slice(toks, 1 + i, F.size(toks) - 7) for i in range(8)]
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 8)]
-    tail = F.lead("tok", 7).over(w)
     spans = (
-        toks.select(
+        spread(load(spark, sf_dir, "documents"))
+        .where(F.size(toks) >= 8)
+        .select("doc_id", F.explode(zipped).alias("_z"))
+        .select(
             "doc_id",
-            F.concat_ws(" ", *parts).alias("g"),
-            tail.alias("_t"),
+            F.concat_ws(
+                " ", *[F.col("_z")[str(i)] for i in range(8)]
+            ).alias("g"),
         )
-        .where(F.col("_t").isNotNull())
-        .select("doc_id", "g")
     )
     gd = spans.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
     nd = F.count("*").over(Window.partitionBy("g"))

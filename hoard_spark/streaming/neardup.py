@@ -55,31 +55,25 @@ def shingle_rows_of(docs: DataFrame, width: int = 3) -> DataFrame:
     """(doc_id, text, …) → one row per distinct word-``width``-gram
     (doc_id, s).
 
-    Same codegen shape as the batch family (posexplode + window lead +
-    distinct; see hoard_spark/queries/llm.py::_shingle_rows) but over an
+    Same shuffle-free zip-slice shape as the batch family (arrays_zip of
+    ``width`` shifted slices + one explode — no token-shuffle window;
+    see hoard_spark/queries/llm.py::shingle_rows_of, r13) but over an
     arbitrary (doc_id, text) frame instead of the sf_dir table.
     ``width`` is the saturated-domain scale knob (the batch family's
     shingle_rows_of doc explains the V^width df argument).
     """
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    last = F.lead("tok", width - 1).over(w)
+    toks = F.split(F.trim("text"), " +")
+    cnt = F.size(toks) - (width - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + i, cnt) for i in range(width)])
     return (
-        toks.select(
+        docs.where(F.size(toks) >= width)
+        .select("doc_id", F.explode(zipped).alias("_z"))
+        .select(
             "doc_id",
             F.concat_ws(
-                " ", "tok",
-                *[F.lead("tok", i).over(w) for i in range(1, width)],
+                " ", *[F.col("_z")[str(i)] for i in range(width)]
             ).alias("s"),
-            last.alias("_last"),
         )
-        .where(F.col("_last").isNotNull())
-        .select("doc_id", "s")
         .distinct()
     )
 
