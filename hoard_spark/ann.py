@@ -371,6 +371,8 @@ def assign_encode_batch(
     n: DataFrame,
     cents: "list[tuple[int, list[float]]]",
     books: "list[list[list[float]]]",
+    lsh_h: int = 16,
+    lsh_seed: int = 7,
 ) -> DataFrame:
     """``encode_pq(assign_cells(n, cents), books)`` as ONE Arrow batch
     pass — the index-BUILD twin of the expression path, bit-identical
@@ -398,7 +400,16 @@ def assign_encode_batch(
     - unit = elementwise v / nrm;
     - per-subspace distances fold ``acc + (cw_t - unit_t)*(cw_t -
       unit_t)`` ascending t; code = first argmin; pq = Σ code_j << 4j
-      in int64.
+      in int64;
+    - lsh16 = the packed ``lsh_signature`` word (r13): per plane i the
+      same ascending-j ``acc = acc + P[i, j] * V[:, j]`` fold, bit =
+      ``dot >= 0``, summed as exact ``bit << i`` integers — so stored
+      signatures equal the in-plan expression bit for bit and every
+      band derived from them matches. Storing the signature moves the
+      O(corpus x h x dim) projection from EVERY search invocation into
+      the one-time build (guide §6 — the same reason cell/pq live
+      here), and drops the 1k-double plane literal tree from consumer
+      corpus-side plans.
 
     Only the materialized-index BUILD uses this (the artifact is parquet
     either way, so consumer query plans stay pure-JVM and the
@@ -414,6 +425,7 @@ def assign_encode_batch(
         + [
             StructField("cell", IntegerType(), True),
             StructField("pq", LongType(), True),
+            StructField("lsh16", LongType(), True),
         ]
     )
     cols = [f.name for f in n.schema.fields]
@@ -425,12 +437,16 @@ def assign_encode_batch(
         B = np.array(B_rows, dtype=np.float64)  # (m, ks, d)
         k, dim = C.shape
         m, ks, d = B.shape
+        # deterministic md5 planes — identical to the literal matrix
+        # every in-plan lsh_signature builds from
+        P = np.array(hyperplanes(dim, h=lsh_h, seed=lsh_seed))
         for pdf in pdf_iter:
             rows = len(pdf)
             if rows == 0:
                 pdf["cell"] = np.array([], dtype=np.int32)
                 pdf["pq"] = np.array([], dtype=np.int64)
-                yield pdf[cols + ["cell", "pq"]]
+                pdf["lsh16"] = np.array([], dtype=np.int64)
+                yield pdf[cols + ["cell", "pq", "lsh16"]]
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)  # (rows, dim)
             nrm = pdf["nrm"].to_numpy(dtype=np.float64)
@@ -453,9 +469,16 @@ def assign_encode_batch(
                     dists[:, c] = acc
                 code = np.argmin(dists, axis=1).astype(np.int64)
                 pq = pq + (code << (4 * j))
+            sig = np.zeros(rows, dtype=np.int64)
+            for i in range(lsh_h):
+                acc = np.zeros(rows, dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + P[i, j] * V[:, j]
+                sig = sig + ((acc >= 0).astype(np.int64) << i)
             pdf["cell"] = cell
             pdf["pq"] = pq
-            yield pdf[cols + ["cell", "pq"]]
+            pdf["lsh16"] = sig
+            yield pdf[cols + ["cell", "pq", "lsh16"]]
 
     return n.mapInPandas(_assign_encode, out_schema)
 
@@ -702,6 +725,8 @@ def search_lsh(
     seed: int = 7,
     where: "Column | str | None" = None,
     dim: "int | None" = None,
+    sig_col: "str | None" = None,
+    q_sig_col: "str | None" = None,
 ) -> DataFrame:
     """LSH-bucketed cosine top-k: rank only corpus rows that share at
     least one signature band with the query. Same output contract as
@@ -728,6 +753,15 @@ def search_lsh(
     ``2^(h/bands)`` stays well above the expected per-band bucket load
     (candidates per probe ~ bands * N / 2^(h/bands)); the defaults fit
     conformance-sized corpora, a 10^9-row corpus wants band_bits ~24+.
+
+    ``sig_col`` / ``q_sig_col`` (r13): name of a column already holding
+    the packed h-bit signature (e.g. the materialized index's
+    ``lsh16``, built bit-identically in the Arrow index pass). When
+    given, that side skips the in-plan ``lsh_signature`` projection —
+    the per-invocation O(rows x h x dim) fold AND the h x dim plane
+    literal tree disappear from the plan (guide §6: precompute in the
+    artifact). The caller guarantees the stored signature used the same
+    (h, seed).
     """
     from pyspark.sql import Window
 
@@ -735,6 +769,8 @@ def search_lsh(
 
     if where is not None:
         n = n.where(where)
+    if dim is None and sig_col is not None and q_sig_col is not None:
+        dim = 0  # planes unused: both signatures come precomputed
     if dim is None:
         # Last-resort probe only: this is a driver action (one Spark job)
         # fired at PLAN-BUILD time, and on a corpus the pre-filter empties
@@ -748,22 +784,28 @@ def search_lsh(
                 "dim was given — pass dim explicitly"
             )
         dim = len(row["v"])
-    planes = hyperplanes(dim, h=h, seed=seed)
+    planes = (
+        hyperplanes(dim, h=h, seed=seed)
+        if sig_col is None or q_sig_col is None
+        else None
+    )
     band_bits = h // bands
     # see search_ivf: parallelize the signature + band explode + join
     # beyond the corpus file's split count
     n = spread_by_stats(n)
+    n_sig = (
+        F.col(sig_col) if sig_col else lsh_signature(planes, "v")
+    )
+    q_sig = (
+        F.col(q_sig_col) if q_sig_col else lsh_signature(planes, "q_v")
+    )
     corpus = n.select(
         "vec_id", "v", "nrm",
-        F.explode(
-            _bands(lsh_signature(planes, "v"), bands, band_bits)
-        ).alias("b"),
+        F.explode(_bands(n_sig, bands, band_bits)).alias("b"),
     ).select("vec_id", "v", "nrm", "b.band_i", "b.band_v")
     probes = queries.select(
         "q_id", "q_v", "q_nrm",
-        F.explode(
-            _bands(lsh_signature(planes, "q_v"), bands, band_bits)
-        ).alias("b"),
+        F.explode(_bands(q_sig, bands, band_bits)).alias("b"),
     ).select("q_id", "q_v", "q_nrm", "b.band_i", "b.band_v")
     dot = F.expr(_DOT.format(a="q_v", b="v"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")

@@ -962,11 +962,13 @@ def _planted_index(spark: SparkSession, sf_dir: str):
     shape as the q51/q67 cluster table."""
     from hoard_spark.ann import materialized_index
 
+    # name versioned for the r13 ``lsh16`` schema addition: a store
+    # written before it would lack the column
     return materialized_index(
         spark,
         sf_dir,
         lambda: _unified_corpus(spark, sf_dir),
-        name="ann_unified_k8_m8x16",
+        name="ann_unified_k8_m8x16_l16",
         keep=["label"],
     )
 
@@ -1508,6 +1510,10 @@ def q100(
             "pq",
             (F.col("vec_id") < _RECALL_ALT_OFF).alias("_planted"),
             F.col("label").isin(0, _ANN_FILTER_LABEL).alias("_filtered"),
+            # corpus signatures come off the artifact's stored lsh16
+            # (bit-identical Arrow-built word, r13) — no per-invocation
+            # O(N x h x dim) projection, no plane literals on the big
+            # side of the plan
             F.explode(
                 F.concat(
                     F.array(
@@ -1515,7 +1521,7 @@ def q100(
                         tagged("flt", F.col("cell")),
                     ),
                     F.transform(
-                        band_keys(lsh_signature(planes, "v")),
+                        band_keys(F.col("lsh16")),
                         lambda k: tagged("lsh", k),
                     ),
                 )
@@ -1648,27 +1654,39 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle, while genuine-neighbor recall stays pinned at
     the library level (tests/test_ann.py).
 
-    Plan shape: the 16-bit SimHash signature and its 2-band explode are
-    codegen projections over literal hyperplanes on both sides — LSH
-    itself needs NO trained index (no training collects, no corpus
-    shuffle to build anything); the probe side broadcasts into the band
-    equi-join and only the candidate set is deduped + ranked. The
-    corpus (vec_id, v, nrm) is read off the shared unified artifact —
-    pure input reuse, the signatures stay per-run map-side — instead of
-    re-normalizing the union per invocation."""
+    Plan shape: both sides' 16-bit SimHash signatures are read off the
+    shared unified artifact's stored ``lsh16`` word (Arrow-built
+    bit-identically to the in-plan projection, r13) — the band explode
+    is a shift/mask projection, the probe side broadcasts into the band
+    equi-join, and only the candidate set is deduped + ranked. LSH
+    itself needs NO trained index; storing the signature just moves the
+    O(corpus x h x dim) fold into the one-time artifact build and drops
+    the hyperplane literal trees from this plan entirely."""
     from hoard_spark.ann import search_lsh
 
     table, _cents, _books = _planted_index(spark, sf_dir)
     n = table.where(F.col("vec_id") < _RECALL_ALT_OFF).select(
-        "vec_id", "v", "nrm"
+        "vec_id", "v", "nrm", "lsh16"
     )
+    # probes are corpus rows (the planted clones), so BOTH sides read
+    # the artifact's stored bit-identical signature (r13) — the whole
+    # search plan carries no plane literals and no per-invocation
+    # signature folds
     probes = n.where(F.col("vec_id") >= _ANN_OFFSET).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_nrm"),
+        F.col("lsh16").alias("q_lsh16"),
     )
     return (
-        search_lsh(n, probes, k=1, dim=_EMB_DIM)
+        search_lsh(
+            n,
+            probes,
+            k=1,
+            dim=_EMB_DIM,
+            sig_col="lsh16",
+            q_sig_col="q_lsh16",
+        )
         .select("q_id", "n_id", "cos")
         .transform(present_sorted, "q_id")
     )

@@ -140,22 +140,32 @@ def test_assign_encode_batch_bit_identical(spark, emb):
     interpreted-HOF expression battery in ``materialized_index``) must
     reproduce ``encode_pq(assign_cells(...))`` EXACTLY: same cell, same
     packed pq word, per vector — the numpy folds accumulate in the same
-    left-to-right order, so equality is bitwise, not approximate."""
-    from hoard_spark.ann import assign_encode_batch
+    left-to-right order, so equality is bitwise, not approximate. The
+    stored ``lsh16`` signature (r13) must likewise equal the in-plan
+    ``lsh_signature`` word exactly, so bands derived from either side
+    agree on every vector."""
+    from hoard_spark.ann import (
+        assign_encode_batch,
+        hyperplanes,
+        lsh_signature,
+    )
 
     n = normalized(emb, keep=["label"])
     cents = train_centroids(n)
     books = train_pq_codebooks(n)
+    dim = len(n.select("v").first()["v"])
+    planes = hyperplanes(dim, h=16, seed=7)
     expr_rows = {
-        r["vec_id"]: (r["cell"], r["pq"], r["label"])
+        r["vec_id"]: (r["cell"], r["pq"], r["label"], r["sig"])
         for r in encode_pq(assign_cells(n, cents), books)
-        .select("vec_id", "cell", "pq", "label")
+        .withColumn("sig", lsh_signature(planes, "v"))
+        .select("vec_id", "cell", "pq", "label", "sig")
         .collect()
     }
     batch_rows = {
-        r["vec_id"]: (r["cell"], r["pq"], r["label"])
+        r["vec_id"]: (r["cell"], r["pq"], r["label"], r["lsh16"])
         for r in assign_encode_batch(n, cents, books)
-        .select("vec_id", "cell", "pq", "label")
+        .select("vec_id", "cell", "pq", "label", "lsh16")
         .collect()
     }
     assert expr_rows == batch_rows and len(expr_rows) == emb.count()
