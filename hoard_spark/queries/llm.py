@@ -2042,23 +2042,88 @@ def _rp_signs(spark: SparkSession, dim: int) -> "list[list[float]]":
     return _RP_SIGN_MEMO[dim]
 
 
-def _rp_bands(n: DataFrame) -> DataFrame:
-    """(vec_id, v) → exploded (vec_id, band_id, band_hash), persisted.
+def _rp_sign_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-keyed MATERIALIZED sign bits of the 192 random-hyperplane
+    projections: (vec_id, w0, w1, w2) with bit ``p % 64`` of word
+    ``p // 64`` = (projection p >= 0) — r13.
+
+    The projections were the last interpreted higher-order-function fold
+    on the q47 path (``transform(aggregate(zip_with(...)))`` over a
+    192x64 literal sign matrix — Catalyst runs these lambdas
+    interpreted, ~1.7 s of per-row interpreter wall at sf0.1, the exact
+    cost class the Arrow ANN index build removed). The build is one
+    ``mapInPandas`` batch pass with the SAME arithmetic order as the
+    expression form — per plane p an ascending-d ``acc = acc +
+    S[p, d] * V[:, d]`` fold, threshold ``>= 0`` — so every sign bit is
+    identical (pinned by tests/test_llm_queries.py); sign extraction and
+    the band xxhash64 stay pure-JVM codegen in the consumer, keeping the
+    no-Python plan audit green (the artifact is a parquet scan, the
+    assign_encode_batch discipline).
+    """
+    from hoard_spark.artifacts import get_or_build
+
+    def build() -> DataFrame:
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        n = _emb_norm(spark, sf_dir).select("vec_id", "v")
+        first = n.select("v").first()
+        dim = len(first["v"]) if first is not None else 1
+        signs = _rp_signs(spark, dim)
+        words = _RP_PLANES // 64
+        out_schema = StructType(
+            [StructField("vec_id", LongType(), True)]
+            + [StructField(f"w{k}", LongType(), True) for k in range(words)]
+        )
+
+        keep = ["vec_id"] + [f"w{k}" for k in range(words)]
+
+        def _project(pdf_iter):
+            import numpy as np
+
+            S = np.array(signs, dtype=np.float64)  # (planes, dim)
+            for pdf in pdf_iter:
+                rows = len(pdf)
+                if rows == 0:
+                    for k in range(words):
+                        pdf[f"w{k}"] = np.array([], dtype=np.int64)
+                    yield pdf[keep]
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                W = [np.zeros(rows, dtype=np.int64) for _ in range(words)]
+                for p in range(_RP_PLANES):
+                    acc = np.zeros(rows, dtype=np.float64)
+                    for d in range(V.shape[1]):
+                        acc = acc + S[p, d] * V[:, d]
+                    W[p // 64] += (acc >= 0).astype(np.int64) << (p % 64)
+                for k in range(words):
+                    pdf[f"w{k}"] = W[k]
+                yield pdf[keep]
+
+        return n.mapInPandas(_project, out_schema)
+
+    return get_or_build(
+        spark, sf_dir, "rp_sign_words_12x16", ("embeddings",), build
+    )
+
+
+def _rp_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band_id, band_hash) exploded band table, persisted.
 
     Random-hyperplane LSH for cosine: plane p's component for dimension d
     is ±1 by the parity of xxhash64(p, d) — deterministic, seedless, and
-    identical across runs. The 192 projections are literal-sign dot
-    products evaluated map-side (one ``transform`` over the inlined sign
-    matrix, the ann.centroid_sims shape). r13 replaced the posexplode +
-    192-conditional-SUM groupBy, which re-derived the constant sign
-    matrix per row AND paid an N x dim-row shuffle for sums a map pass
-    computes: A/B'd 2.07 → 1.76 s at sf0.1 (the element_at-in-SUM
-    middle ground measured WORSE, 2.52 s — the shuffle, not the hash,
-    is the residual cost). Bit-identical by construction: zip_with/
-    aggregate folds in the same ascending-dimension order as the
-    partial SUM over posexploded rows and ``0.0 + x == x`` exactly, so
-    every projection (hence every band hash) is unchanged — asserted
-    over sf0.01 + sf0.1 at the switch, planted-clone recall test green.
+    identical across runs. The projections' sign bits come off the
+    materialized ``_rp_sign_words`` artifact (r13 — see there; before
+    that, one interpreted literal-matrix fold per row, and before r13 a
+    posexplode + 192-conditional-SUM groupBy that also paid an
+    N x dim-row shuffle). Band hashes here are the same
+    ``xxhash64(bit, ..., bit)`` over the same 16 int bits per band as
+    every earlier form — shift/mask extraction is whole-stage codegen —
+    so candidates (hence q47's verified output) are unchanged, pinned by
+    the band-equality test.
 
     Band geometry is the SCALE knob, and it is quadratic-or-not: a
     random pair (sign bits ~ fair coins) collides in a given band w.p.
@@ -2072,43 +2137,31 @@ def _rp_bands(n: DataFrame) -> DataFrame:
     the recall bar: a cos>=0.99 pair agrees per plane w.p. ~0.955, per
     band 0.955^16 ~ 0.478, so P(miss all 12) ~ 0.522^12 ~ 4e-4 — same
     order as the old geometry's 2e-4 claim; the signature build stays
-    linear (192 literal dots per row, no shuffle).
+    linear (192 dots per row in the one-time artifact pass, no shuffle).
     """
-    from hoard_spark.ann import _lit_matrix
-
-    first = n.select("v").first()
-    # Empty corpus: any width yields zero band rows; 1 keeps the
-    # sign-matrix job and literal tiny.
-    dim = len(first["v"]) if first is not None else 1
-    signs = _rp_signs(n.sparkSession, dim)
-    projs = F.transform(
-        _lit_matrix(signs),
-        lambda s: F.aggregate(
-            F.zip_with(s, F.col("v"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    words = _rp_sign_words(spark, sf_dir)
     bits = _RP_PLANES // _RP_BANDS
+
+    def bit(p: int) -> Column:
+        return (
+            F.shiftright(F.col(f"w{p // 64}"), p % 64)
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+        )
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.xxhash64(
-                    *[
-                        (F.element_at("s", b * bits + r + 1) >= 0).cast(
-                            "int"
-                        )
-                        for r in range(bits)
-                    ]
+                    *[bit(b * bits + r) for r in range(bits)]
                 ).alias("band_hash"),
             )
             for b in range(_RP_BANDS)
         ]
     )
     return track_cache(
-        n.select("vec_id", projs.alias("s"))
-        .select("vec_id", F.explode(bands).alias("band"))
+        words.select("vec_id", F.explode(bands).alias("band"))
         .select("vec_id", "band.band_id", "band.band_hash")
     )
 
@@ -2136,7 +2189,7 @@ def _rp_bands(n: DataFrame) -> DataFrame:
 )
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _emb_norm(spark, sf_dir)  # persisted by the helper
-    bands = _rp_bands(n)
+    bands = _rp_bands(spark, sf_dir)
     a = bands.select(F.col("vec_id").alias("a_id"), "band_id", "band_hash")
     b = bands.select(F.col("vec_id").alias("b_id"), "band_id", "band_hash")
     cands = (

@@ -169,6 +169,64 @@ def test_embedding_neardup_on_planted_clones(spark, tmp_path):
     assert got == expect
 
 
+def test_rp_band_hashes_match_expression_form(spark):
+    """The Arrow-built sign-word artifact (r13) must yield EXACTLY the
+    band hashes the interpreted literal-matrix expression form produced:
+    the numpy projection folds accumulate in the same ascending-d order
+    with the same >= 0 threshold, and the band xxhash64 consumes the
+    same 16 int bits — so (vec_id, band_id, band_hash) rows are equal
+    as sets, which pins q47's candidate pairs unchanged."""
+    from hoard_spark.ann import _lit_matrix
+    from hoard_spark.queries.llm import (
+        _RP_BANDS,
+        _RP_PLANES,
+        _emb_norm,
+        _rp_bands,
+        _rp_signs,
+    )
+
+    n = _emb_norm(spark, SF_SMOKE).select("vec_id", "v")
+    dim = len(n.select("v").first()["v"])
+    signs = _rp_signs(spark, dim)
+    projs = F.transform(
+        _lit_matrix(signs),
+        lambda s: F.aggregate(
+            F.zip_with(s, F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = _RP_PLANES // _RP_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        (F.element_at("s", b * bits + r + 1) >= 0).cast(
+                            "int"
+                        )
+                        for r in range(bits)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(_RP_BANDS)
+        ]
+    )
+    expr_rows = {
+        (r["vec_id"], r["band_id"], r["band_hash"])
+        for r in n.select("vec_id", projs.alias("s"))
+        .select("vec_id", F.explode(bands).alias("band"))
+        .select("vec_id", "band.band_id", "band.band_hash")
+        .collect()
+    }
+    art_rows = {
+        (r["vec_id"], r["band_id"], r["band_hash"])
+        for r in _rp_bands(spark, SF_SMOKE).collect()
+    }
+    assert art_rows == expr_rows and len(art_rows) > 0
+
+
 def test_q50_asof_plan_has_no_join(spark):
     """The as-of join must plan as a window over a union — one shuffle +
     one sort, never a join operator (the quadratic range-join shape)."""
