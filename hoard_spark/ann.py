@@ -117,19 +117,20 @@ def _lit_vec(xs: "list[float]") -> Column:
     return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
 
 
+def _vec_sql(xs: "list[float]") -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+
+def _matrix_sql(rows: "list[list[float]]") -> str:
+    return "array(" + ",".join(_vec_sql(r) for r in rows) + ")"
+
+
 def _lit_matrix(rows: "list[list[float]]") -> Column:
     """Literal array<array<double>> — one parsed SQL string (see
     ``_lit_vec``); builder-API fallback for non-finite values."""
     if not all(math.isfinite(x) for r in rows for x in r):
         return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
-            for r in rows
-        )
-        + ")"
-    )
+    return F.expr(_matrix_sql(rows))
 
 
 def centroid_sims(
@@ -143,9 +144,25 @@ def centroid_sims(
     a real driver cost when every ANN query builds these per
     invocation); whole-stage codegen; centroids must be unit vectors.
     zip_with multiplies (centroid_j * vec_j) in the same ascending-j
-    order as the previous per-centroid form — bit-identical doubles."""
+    order as the previous per-centroid form — bit-identical doubles.
+
+    The whole expression (matrix literal + lambdas) is ONE parsed SQL
+    string: DSL-composed higher-order lambdas cost dozens of Py4J round
+    trips each, and every ANN *search* builds this tree per invocation
+    (measured r13: the ANN family paid ~9 s/suite of driver-side
+    construction, q100 alone ~3 s). The parsed operator tree is the
+    same transform/aggregate/zip_with chain in the same fold order —
+    bit-identical values (tests pin signature/cell equality). Builder
+    fallback for non-finite values, which have no SQL literal form."""
+    m = [c_v for _, c_v in cents]
+    if all(math.isfinite(x) for r in m for x in r):
+        return F.expr(
+            f"transform({_matrix_sql(m)}, c -> "
+            f"aggregate(zip_with(c, {vec}, (a, b) -> a * b), 0.0D, "
+            f"(acc, x) -> acc + x) / {nrm})"
+        )
     return F.transform(
-        _lit_matrix([c_v for _, c_v in cents]),
+        _lit_matrix(m),
         lambda c: F.aggregate(
             F.zip_with(c, F.col(vec), lambda a, b: a * b),
             F.lit(0.0),
@@ -483,6 +500,10 @@ def assign_encode_batch(
     return n.mapInPandas(_assign_encode, out_schema)
 
 
+def _cube_sql(rows: "list[list[list[float]]]") -> str:
+    return "array(" + ",".join(_matrix_sql(m) for m in rows) + ")"
+
+
 def _lit_cube(rows: "list[list[list[float]]]") -> Column:
     """Literal array<array<array<double>>> — one parsed SQL string (see
     ``_lit_vec``); builder-API fallback for non-finite values."""
@@ -493,19 +514,7 @@ def _lit_cube(rows: "list[list[list[float]]]") -> Column:
                 for m in rows
             ]
         )
-    return F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
-                for r in m
-            )
-            + ")"
-            for m in rows
-        )
-        + ")"
-    )
+    return F.expr(_cube_sql(rows))
 
 
 def pq_lut(
@@ -519,8 +528,19 @@ def pq_lut(
     ``lsh_signature`` got in r10; generated-code size and per-query
     lambda-construction round trips are real driver costs). Arithmetic
     is bit-identical to the per-book form: same ascending-c zip_with
-    dot over the same subspace slice."""
+    dot over the same subspace slice. One parsed SQL string for the
+    same Py4J-round-trip reason as ``centroid_sims`` (the cube is
+    m*ks*dsub doubles and the nested lambdas cost more driver wall
+    than the execution at conformance scale); builder fallback for
+    non-finite values."""
     m, d = len(books), len(books[0][0])
+    if all(math.isfinite(x) for bj in books for r in bj for x in r):
+        return F.expr(
+            f"transform({_cube_sql(books)}, (bj, j) -> transform(bj, "
+            f"cw -> aggregate(zip_with(cw, slice(transform({vec}, "
+            f"x -> x / {nrm}), j * {d} + 1, {d}), (a, b) -> a * b), "
+            f"0.0D, (acc, p) -> acc + p)))"
+        )
     unit = F.transform(F.col(vec), lambda x: x / F.col(nrm))
     return F.transform(
         _lit_cube(books),
@@ -679,7 +699,18 @@ def lsh_signature(
     is a real per-query driver cost); the signature build rides the
     scan map-side, the same no-corpus-shuffle shape as IVF cell
     assignment. Arithmetic is bit-identical to the per-plane form:
-    same ascending-j zip_with dot, same >= 0 threshold, same bit i."""
+    same ascending-j zip_with dot, same >= 0 threshold, same bit i.
+    One parsed SQL string for the same Py4J-round-trip reason as
+    ``centroid_sims``; builder fallback for non-finite planes."""
+    if all(math.isfinite(x) for r in planes for x in r):
+        return F.expr(
+            f"aggregate(transform({_matrix_sql(planes)}, (p, i) -> "
+            f"shiftleft(CAST(CASE WHEN aggregate(zip_with(p, {vec}, "
+            f"(a, b) -> a * b), 0.0D, (acc, x) -> acc + x) >= 0 "
+            f"THEN 1 ELSE 0 END AS BIGINT), i)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x)"
+        )
+
     def bit(p: Column, i: Column) -> Column:
         dot = F.aggregate(
             F.zip_with(p, F.col(vec), lambda a, b: a * b),

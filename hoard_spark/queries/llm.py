@@ -580,27 +580,28 @@ def simhash_pairs(
     votes = feats.groupBy("doc_id").agg(
         F.count("*").alias("nf"), *lane_cols
     )
-    guard = F.coalesce(
-        F.assert_true(
-            F.col("nf") <= F.lit(65535),
-            F.lit("doc exceeds 65535 shingles: 16-bit simhash vote lanes "
-                  "would saturate — widen the lane packing"),
-        ).cast("long"),
-        F.lit(0).cast("long"),
+    # ONE parsed SQL string for the 64-term bit assembly + guard: the
+    # DSL form (64 CASE Columns chained through bitwiseOR) cost ~1 s of
+    # per-invocation Py4J round trips (measured r13); the parser builds
+    # the identical CASE/shiftleft/| operator tree from one string.
+    guard_sql = (
+        "coalesce(CAST(assert_true(nf <= 65535, "
+        "'doc exceeds 65535 shingles: 16-bit simhash vote lanes "
+        "would saturate — widen the lane packing') AS BIGINT), "
+        "CAST(0 AS BIGINT))"
     )
-    bit_terms = [
-        F.when(
-            F.expr(
-                f"(shiftright(g{b % 16}, {16 * (b // 16)}) & 65535L) * 2"
-            )
-            >= F.col("nf"),
-            F.expr(f"shiftleft(1L, {b})"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    h = bit_terms[0] + guard
-    for t in bit_terms[1:]:
-        h = h.bitwiseOR(t)
+
+    def term_sql(b: int) -> str:
+        return (
+            f"CASE WHEN (shiftright(g{b % 16}, {16 * (b // 16)}) "
+            f"& 65535L) * 2 >= nf THEN shiftleft(1L, {b}) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    h = F.expr(
+        f"(({term_sql(0)}) + {guard_sql})"
+        + "".join(f" | ({term_sql(b)})" for b in range(1, 64))
+    )
     # persist the compact per-doc signature table: it is read by BOTH sides
     # of the band self-join, and the InMemoryRelation boundary stops the
     # optimizer from inlining the 64-term bit-assembly expression into every
@@ -1441,9 +1442,11 @@ def q100(
     # Probe side of the meeting: every path's join keys off ONE pass
     # over the 400-row probe frame — nprobe IVF cells (shared by the pq
     # and filtered paths), the 4 signature bands, plus the ADC LUT the
-    # pq ranking reads. Broadcast once. Built in TWO DataFrame ops:
-    # classic PySpark re-analyzes the full logical plan per op, so each
-    # extra op here re-walks the ~2.5k-double literal trees below.
+    # pq ranking reads. Broadcast once. Built in ONE DataFrame op
+    # (inline() yields the tag/key columns directly, where explode
+    # needed a second select to unnest the struct): classic PySpark
+    # re-analyzes the full logical plan per op, so every op saved here
+    # is one fewer analyzer walk of the ~2.5k-double literal trees.
     pc = F.slice(
         F.array_sort(
             F.transform(
@@ -1462,7 +1465,7 @@ def q100(
             "q_v",
             "q_nrm",
             pq_lut(books).alias("lut"),
-            F.explode(
+            F.inline(
                 F.concat(
                     F.transform(pc, lambda c: tagged("pq", c["c_id"])),
                     F.transform(pc, lambda c: tagged("flt", c["c_id"])),
@@ -1471,11 +1474,7 @@ def q100(
                         lambda k: tagged("lsh", k),
                     ),
                 )
-            ).alias("tk"),
-        )
-        .select(
-            "q_id", "q_v", "q_nrm", "lut",
-            F.col("tk.tag").alias("tag"), F.col("tk.key").alias("key"),
+            ),
         )
         # Checkpoint the probe-key frame (bounded: probes x ~16 keys)
         # to TRUNCATE ITS LINEAGE: the centroid/codebook/hyperplane
@@ -2142,23 +2141,25 @@ def _rp_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _rp_sign_words(spark, sf_dir)
     bits = _RP_PLANES // _RP_BANDS
 
-    def bit(p: int) -> Column:
-        return (
-            F.shiftright(F.col(f"w{p // 64}"), p % 64)
-            .bitwiseAND(F.lit(1))
-            .cast("int")
-        )
+    # ONE parsed SQL string instead of 192 Python-composed bit Columns:
+    # building shiftright/&/cast per bit through the DSL cost ~9k py4j
+    # round trips (~2 s of q47's wall was driver-side construction,
+    # measured r13); the parser builds the identical shift/mask/xxhash64
+    # operator tree from one string in one call. Same bits, same band
+    # xxhash64 (seed 42 both forms) — band rows pinned equal by
+    # tests/test_llm_queries.py::test_rp_band_hashes_match_expression_form.
+    def bit_sql(p: int) -> str:
+        return f"CAST(shiftright(w{p // 64}, {p % 64}) & 1 AS INT)"
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[bit(b * bits + r) for r in range(bits)]
-                ).alias("band_hash"),
-            )
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band_id', {b}, 'band_hash', xxhash64("
+            + ",".join(bit_sql(b * bits + r) for r in range(bits))
+            + "))"
             for b in range(_RP_BANDS)
-        ]
+        )
+        + ")"
     )
     return track_cache(
         words.select("vec_id", F.explode(bands).alias("band"))
@@ -3747,11 +3748,17 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 3dp rounding boundary. Exact DECIMAL(25,10) accumulation
             # (dsum10) makes the centroid bit-stable; the oracle mirrors
             # it (_DUCK_CENTROID).
-            F.array(
-                *[
-                    dsum10(F.col("v")[i]) / F.count(F.col("v")[i])
+            # ONE parsed SQL string (64 dsum10 terms through the DSL
+            # cost ~1 s of Py4J round trips per invocation, r13); each
+            # element is dsum10's exact expansion.
+            F.expr(
+                "array("
+                + ",".join(
+                    f"CAST(SUM(CAST(v[{i}] AS DECIMAL(25,10))) AS "
+                    f"DOUBLE) / COUNT(v[{i}])"
                     for i in range(_EMB_DIM)
-                ]
+                )
+                + ")"
             ).alias("c")
         )
         .withColumn(
