@@ -493,29 +493,42 @@ def _neardup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a_id", "b_id")
             .distinct()
         )
-        # exact verify, array-free: fan each candidate pair over doc a's
-        # shingle rows, keep the ones doc b shares — the count IS |A ∩ B|
-        ra = rows.select(F.col("doc_id").alias("a_id"), "s")
-        rb = rows.select(F.col("doc_id").alias("b_id"), "s")
-        inter = (
-            cands.join(ra, "a_id")
-            .join(rb, ["b_id", "s"], "inner")
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("inter"))
+        # exact verify via per-doc shingle-set arrays: two joins land
+        # each candidate pair next to both docs' sets, and a map-side
+        # array_intersect size IS |A ∩ B|. The previous fan-out form
+        # (explode each pair over doc a's rows, inner-join doc b's rows
+        # on (b_id, s), count) carried the same bytes per pair but
+        # through TWO extra shuffle stages (the (b_id, s) join + the
+        # pair re-aggregation) — interleaved A/B at sf0.1: faster in
+        # 3/4 reps, min 3.66 → 2.71 s, `exceptAll` empty both ways
+        # (r13; pinned by tests/test_llm_queries.py::
+        # test_neardup_pair_build_matches_fanout_verify). Only the SIZE
+        # of the intersect is read, so collect_set's element order
+        # cannot matter; arrays are per-doc bounded (doc length), never
+        # corpus-sized, and a Zipf-hot doc duplicates its array per
+        # candidate exactly as the fan-out duplicated its rows — AQE
+        # skew splitting applies the same either way.
+        sets = rows.groupBy("doc_id").agg(
+            F.collect_set("s").alias("ss"), F.count("*").alias("n_sh")
         )
-        sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        na = sizes.select(
-            F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")
+        sa = sets.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("ss").alias("sa"),
+            F.col("n_sh").alias("na"),
         )
-        nb = sizes.select(
-            F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")
+        sb = sets.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("ss").alias("sb"),
+            F.col("n_sh").alias("nb"),
         )
-        jac = F.col("inter").cast("double") / (
-            (F.col("na") + F.col("nb")).cast("double") - F.col("inter")
+        inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+        jac = inter.cast("double") / (
+            (F.col("na") + F.col("nb")).cast("double")
+            - inter.cast("double")
         )
         return (
-            inter.join(na, "a_id")
-            .join(nb, "b_id")
+            cands.join(sa, "a_id")
+            .join(sb, "b_id")
             .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= 0.7)
             .select(

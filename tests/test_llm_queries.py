@@ -686,3 +686,61 @@ def test_q90_boundary_grams_disjoint_from_artifact(spark):
         F.col("s").rlike("(^| )(" + "|".join(toks) + ")( |$)")
     ).count()
     assert suffixed == 0
+
+
+def test_neardup_pair_build_matches_fanout_verify(spark):
+    """The array-intersect exact verify (r13) must yield EXACTLY the
+    pair rows of the fan-out form it replaced (explode each candidate
+    pair over doc a's shingle rows, inner-join doc b's on (b_id, s),
+    count): same candidates (the band stage is untouched), |A ∩ B| from
+    array_intersect size equals the matched-row count, and the jaccard
+    arithmetic is the same double expression — so the materialized
+    ``neardup_pairs`` artifact (q35's rows, q51's input) is unchanged."""
+    from hoard_spark.cache import track_cache
+    from hoard_spark.queries.llm import (
+        _minhash_bands,
+        _neardup_pairs_table,
+        _shingle_rows,
+    )
+
+    sf_dir = SF_T2
+    new = _neardup_pairs_table(spark, sf_dir)
+
+    rows = track_cache(_shingle_rows(spark, sf_dir).select("doc_id", "s"))
+    bands = _minhash_bands(rows)
+    a = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+    cands = (
+        a.join(b, ["band_id", "band_hash"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ra = rows.select(F.col("doc_id").alias("a_id"), "s")
+    rb = rows.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        cands.join(ra, "a_id")
+        .join(rb, ["b_id", "s"], "inner")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    na = sizes.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")
+    )
+    jac = F.col("inter").cast("double") / (
+        (F.col("na") + F.col("nb")).cast("double") - F.col("inter")
+    )
+    fanout = (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.7)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+    assert new.exceptAll(fanout).count() == 0
+    assert fanout.exceptAll(new).count() == 0
+    assert new.count() > 0
