@@ -38,31 +38,31 @@ FLAGSHIP = "q01_bucket_lww"
 
 # The driver's correctness gate covers the first 50 registry entries per
 # round. Emit least-recently-driver-verified queries first so every query
-# accumulates a driver-green row across rounds. Round-13 rotation: the 50
-# queries whose newest driver row is r11 (exactly the CORRECTNESS_r11.json
-# key set — the complement of the r12 gate) go first, keeping every
-# query's newest driver evidence ≤1 round old a seventh time.
+# accumulates a driver-green row across rounds. Round-14 rotation:
+# q101/q102 lead (declared in r13, never in any driver gate — the only
+# queries with zero driver-side oracle evidence), followed by 48 of the
+# r12 gate set (newest driver row: CORRECTNESS_r12.json). Round-robin
+# debt: q25_topk and q30_conditional (both r12-green, untouched since)
+# slip to r15 to make room; ledger in SURVEY.md §"Driver-gate rotation".
 _PRIORITY = [
-    "q02_rollup_xff", "q03_cascaded_rollup", "q04_range_fetch",
-    "q05_retention_filter", "q06_filter", "q07_projection_math",
-    "q12_anti_join", "q13_cross_join", "q14_theta_join",
-    "q15_multiway_join", "q16_exact_distinct", "q17_grouping_sets",
-    "q18_rollup", "q19_cube", "q20_stats_aggs",
-    "q36_simhash_neardup",
-    "q42_token_count_bpe", "q43_doc_fingerprint",
-    "q44_mm_metadata", "q45_mm_features", "q46_frame_sample",
-    "q47_embedding_neardup", "q48_sessionize", "q49_decode_resize",
-    "q50_asof_join", "q51_dedup_clusters", "q52_hash_sample",
-    "q53_text_clean",
-    "q59_array_fns", "q60_pii_redact", "q61_stratified_sample",
-    "q62_embedding_quantize", "q63_chunking", "q64_tfidf_top_term",
-    "q65_repetition_score", "q66_contamination", "q67_canonical_pick",
-    "q68_bm25_topk",
-    "q71_bigram_lm_score", "q72_span_dedup", "q73_pack_contexts",
-    "q74_quality_blend", "q75_scalar_subquery", "q76_value_windows",
-    "q77_funnel", "q78_cohort_retention", "q80_sorted_collect",
-    "q90_topk_simjoin_ladder",
-    "q99_ann_recall", "q100_ann_recall_paths",
+    "q101_profile", "q102_integrity",
+    "q01_bucket_lww", "q08_inner_join_agg", "q09_left_join",
+    "q10_full_join", "q11_semi_join",
+    "q21_ranking_windows", "q22_lag_delta", "q23_moving_avg",
+    "q24_ntile", "q26_set_ops", "q27_string_fns",
+    "q28_date_fns", "q29_math_fns",
+    "q31_exact_dedup", "q32_token_stats", "q33_json_extract",
+    "q34_cosine_topk", "q35_minhash_neardup", "q37_ngram_jaccard_topk",
+    "q38_knn_exact", "q39_ann_ivf", "q40_lang_id", "q41_quality_score",
+    "q54_pivot", "q55_unpivot", "q56_percentiles", "q57_range_join",
+    "q58_salted_agg", "q69_weighted_median", "q70_map_fns",
+    "q79_simjoin_threshold", "q81_merge_upsert", "q82_quantile_sketch",
+    "q83_gapfill", "q84_ewma", "q85_interval_join",
+    "q86_window_distinct", "q87_snapshot_diff", "q88_scd2_intervals",
+    "q89_fuzzy_probe",
+    "q91_ann_ivfpq", "q92_ann_filtered", "q93_ann_lsh",
+    "q94_label_outliers", "q95_ngram_novelty", "q96_pmi_bigrams",
+    "q97_mixture_weights", "q98_containment_dedup",
 ]
 
 
