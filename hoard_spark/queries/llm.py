@@ -1255,6 +1255,186 @@ def q99(spark: SparkSession, sf_dir: str, nprobe: int = 6) -> DataFrame:
     )
 
 
+def _q100_probe_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    table: DataFrame,
+    cents: "list[tuple[int, list[float]]]",
+    books: "list[list[list[float]]]",
+    nprobe: int,
+    probe_src: Column,
+    name_suffix: str = "",
+) -> DataFrame:
+    """Corpus-keyed MATERIALIZED probe-key frame for q100's fused
+    meeting: (q_id, q_v, q_nrm, lut, tag, key), one row per (probe,
+    path key) — nprobe IVF cells tagged ``pq`` and ``flt`` plus the 4
+    LSH band keys tagged ``lsh`` — r14.
+
+    Why an artifact: the expression form built this frame per
+    invocation from three ~1k-double literal trees (centroid matrix,
+    PQ codebook cube, hyperplane matrix) dragged through ~8 DataFrame
+    ops — measured r14: 2,466 Py4J round trips / ~1.3-2.0 s of pure
+    driver-side construction, more than the query's execution — and
+    then evaluated k + m*ks + h interpreted higher-order-function folds
+    per probe row inside the checkpoint job (the exact cost class
+    ``assign_encode_batch`` removed from the corpus side in r13; probes
+    grow with the corpus at N/_ANN_STEP, so the interpreted folds are a
+    scale cost too, guide §4.2). The build is ONE ``mapInPandas`` batch
+    pass with the SAME arithmetic order as the expression form, so
+    every value is bit-identical (pinned by tests/test_llm_queries.py::
+    test_q100_probe_keys_match_expression_form):
+
+    - q_v = [v0 + eps*nrm] ++ v[1:]; q_nrm = sqrt of the ascending-j
+      ``acc + q_v_j * q_v_j`` fold;
+    - sims[c] = ascending-j ``acc + C[c,j] * q_v_j`` fold / q_nrm; the
+      probed cells are the first nprobe under (-sim, c_id) ordering —
+      ``array_sort(struct(ns, c_id))``'s comparator;
+    - band key b = b * 2^band_bits + ((sig >> b*band_bits) & mask) with
+      sig the packed ascending-j hyperplane sign word (the
+      ``lsh_signature`` arithmetic, same md5 planes);
+    - lut[j][c] = ascending-t ``acc + B[j,c,t] * unit[j*d+t]`` fold,
+      unit = q_v / q_nrm elementwise (``pq_lut``'s order).
+
+    Consumers read a parquet scan (no Python in the query plan — the
+    ``assign_encode_batch`` discipline) and broadcast it to the
+    candidate meeting exactly as before; row count is bounded by
+    (probes x (2*nprobe + bands)).
+    """
+    from hoard_spark.artifacts import get_or_build
+    from hoard_spark.ann import hyperplanes
+
+    H, BANDS = 16, 4
+    band_bits = H // BANDS
+    C_rows = [list(map(float, v)) for _, v in cents]
+    B_rows = [[[float(x) for x in cw] for cw in bj] for bj in books]
+    n_probe = int(nprobe)
+
+    def build() -> DataFrame:
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        src = table.where(probe_src).select("vec_id", "v", "nrm")
+        out_schema = StructType(
+            [
+                StructField("q_id", LongType(), True),
+                StructField("q_v", ArrayType(DoubleType()), True),
+                StructField("q_nrm", DoubleType(), True),
+                StructField(
+                    "lut", ArrayType(ArrayType(DoubleType())), True
+                ),
+                StructField("tag", StringType(), True),
+                StructField("key", LongType(), True),
+            ]
+        )
+        out_cols = ["q_id", "q_v", "q_nrm", "lut", "tag", "key"]
+        keys_per = 2 * n_probe + BANDS
+
+        def _keys(pdf_iter):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(C_rows, dtype=np.float64)  # (k, dim)
+            B = np.array(B_rows, dtype=np.float64)  # (m, ks, d)
+            k, dim = C.shape
+            m, ks, d = B.shape
+            P = np.array(hyperplanes(dim, h=H, seed=7))
+            mask = (1 << band_bits) - 1
+            for pdf in pdf_iter:
+                rows = len(pdf)
+                if rows == 0:
+                    yield pd.DataFrame(
+                        {c: [] for c in out_cols}
+                    )
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                Q = V.copy()
+                Q[:, 0] = V[:, 0] + _RECALL_EPS * nrm
+                qn = np.zeros(rows, dtype=np.float64)
+                for j in range(dim):
+                    qn = qn + Q[:, j] * Q[:, j]
+                qn = np.sqrt(qn)
+                sims = np.empty((rows, k), dtype=np.float64)
+                for c in range(k):
+                    acc = np.zeros(rows, dtype=np.float64)
+                    for j in range(dim):
+                        acc = acc + C[c, j] * Q[:, j]
+                    sims[:, c] = acc / qn
+                sig = np.zeros(rows, dtype=np.int64)
+                for i in range(H):
+                    acc = np.zeros(rows, dtype=np.float64)
+                    for j in range(dim):
+                        acc = acc + P[i, j] * Q[:, j]
+                    sig = sig + ((acc >= 0).astype(np.int64) << i)
+                unit = Q / qn[:, None]
+                lut = np.empty((rows, m, ks), dtype=np.float64)
+                for j in range(m):
+                    for c in range(ks):
+                        acc = np.zeros(rows, dtype=np.float64)
+                        for t in range(d):
+                            acc = acc + B[j, c, t] * unit[:, j * d + t]
+                        lut[:, j, c] = acc
+                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64) + _RECALL_QOFF
+                out_qid, out_qv, out_qn, out_lut = [], [], [], []
+                out_tag, out_key = [], []
+                for r in range(rows):
+                    cells = sorted(
+                        range(k), key=lambda c: (-sims[r, c], c)
+                    )[:n_probe]
+                    qv_list = [float(x) for x in Q[r]]
+                    lut_list = [
+                        [float(x) for x in lut[r, j]] for j in range(m)
+                    ]
+                    tags = (
+                        [("pq", int(c)) for c in cells]
+                        + [("flt", int(c)) for c in cells]
+                        + [
+                            (
+                                "lsh",
+                                int(
+                                    b * (1 << band_bits)
+                                    + ((int(sig[r]) >> (b * band_bits))
+                                       & mask)
+                                ),
+                            )
+                            for b in range(BANDS)
+                        ]
+                    )
+                    for tag, key in tags:
+                        out_qid.append(int(q_ids[r]))
+                        out_qv.append(qv_list)
+                        out_qn.append(float(qn[r]))
+                        out_lut.append(lut_list)
+                        out_tag.append(tag)
+                        out_key.append(key)
+                yield pd.DataFrame(
+                    {
+                        "q_id": out_qid,
+                        "q_v": out_qv,
+                        "q_nrm": out_qn,
+                        "lut": out_lut,
+                        "tag": out_tag,
+                        "key": out_key,
+                    }
+                )
+
+        return src.mapInPandas(_keys, out_schema)
+
+    return get_or_build(
+        spark,
+        sf_dir,
+        f"q100_probe_keys_np{n_probe}{name_suffix}",
+        ("embeddings",),
+        build,
+    )
+
+
 @query(
     "q100_ann_recall_paths",
     "genuine-NEAR-neighbor recall for the OTHER three ANN paths "
@@ -1389,13 +1569,7 @@ def q100(
     three."""
     from pyspark.sql import Window
 
-    from hoard_spark.ann import (
-        _bands,
-        centroid_sims,
-        hyperplanes,
-        lsh_signature,
-        pq_lut,
-    )
+    from hoard_spark.ann import _bands
 
     table, cents, books = _planted_index(spark, sf_dir)
     q_v = F.concat(
@@ -1436,7 +1610,6 @@ def q100(
     # oracle comment), same fixed hyperplanes as search_lsh's defaults.
     H, BANDS, RERANK = 16, 4, 32
     band_bits = H // BANDS
-    planes = hyperplanes(_EMB_DIM, h=H, seed=7)
     m = len(books)
 
     def band_keys(sig: Column) -> Column:
@@ -1452,55 +1625,23 @@ def q100(
             F.lit(tag).alias("tag"), key.cast("long").alias("key")
         )
 
-    # Probe side of the meeting: every path's join keys off ONE pass
-    # over the 400-row probe frame — nprobe IVF cells (shared by the pq
-    # and filtered paths), the 4 signature bands, plus the ADC LUT the
-    # pq ranking reads. Broadcast once. Built in ONE DataFrame op
-    # (inline() yields the tag/key columns directly, where explode
-    # needed a second select to unnest the struct): classic PySpark
-    # re-analyzes the full logical plan per op, so every op saved here
-    # is one fewer analyzer walk of the ~2.5k-double literal trees.
-    pc = F.slice(
-        F.array_sort(
-            F.transform(
-                centroid_sims(cents, vec="q_v", nrm="q_nrm"),
-                lambda s, i: F.struct(
-                    (-s).alias("ns"), i.alias("c_id")
-                ),
-            )
-        ),
-        1,
+    # Probe side of the meeting: every path's join keys — nprobe IVF
+    # cells (shared by the pq and filtered paths), the 4 signature
+    # bands, plus the ADC LUT the pq ranking reads — come off the
+    # corpus-keyed MATERIALIZED probe-key artifact (r14, see
+    # _q100_probe_keys): a parquet scan, zero literal trees and zero
+    # interpreted probe folds in this plan (the expression form cost
+    # ~1.3-2.0 s of driver construction + a checkpointed interpreted
+    # fold job per invocation). Broadcast once, exactly as before.
+    pk = _q100_probe_keys(
+        spark,
+        sf_dir,
+        table,
+        cents,
+        books,
         int(nprobe),
-    )
-    pk = (
-        probes.select(
-            "q_id",
-            "q_v",
-            "q_nrm",
-            pq_lut(books).alias("lut"),
-            F.inline(
-                F.concat(
-                    F.transform(pc, lambda c: tagged("pq", c["c_id"])),
-                    F.transform(pc, lambda c: tagged("flt", c["c_id"])),
-                    F.transform(
-                        band_keys(lsh_signature(planes, "q_v")),
-                        lambda k: tagged("lsh", k),
-                    ),
-                )
-            ),
-        )
-        # Checkpoint the probe-key frame (bounded: probes x ~16 keys)
-        # to TRUNCATE ITS LINEAGE: the centroid/codebook/hyperplane
-        # literal trees above are ~2.5k doubles, and classic PySpark
-        # re-analyzes the full logical plan on EVERY subsequent
-        # DataFrame op — measured, dragging these trees through the
-        # join/window/join chain cost ~2s of py4j/analyzer wall at
-        # sf0.1, more than the actual execution. The checkpoint plan is
-        # a leaf relation either way; eager=False folds the frame's
-        # one-time evaluation into the first job that reads it instead
-        # of paying a separate job barrier here. Tracked so
-        # release_caches frees the blocks (ADVICE r11 #3).
-        .transform(track_checkpoint)
+        probe_src,
+        name_suffix="" if probe_cap is None else f"_cap{int(probe_cap)}",
     )
 
     # Corpus side: ONE scan of the unified artifact (the OR of the two

@@ -227,6 +227,132 @@ def test_rp_band_hashes_match_expression_form(spark):
     assert art_rows == expr_rows and len(art_rows) > 0
 
 
+def test_q100_probe_keys_match_expression_form(spark):
+    """The materialized probe-key frame (r14) must yield EXACTLY the
+    (q_id, q_v, q_nrm, lut, tag, key) rows the in-plan expression form
+    produced: the numpy build mirrors every fold order (ascending-j
+    dots, (-sim, c_id) cell ordering, packed sign word, ascending-t LUT
+    dots over q_v/q_nrm), so q100's candidate sets and ADC ranking are
+    unchanged bit for bit. The artifact is purged first so the test
+    always exercises the CURRENT build path, never a previously
+    materialized parquet (ADVICE r13)."""
+    from hoard_spark.ann import (
+        _bands,
+        centroid_sims,
+        hyperplanes,
+        lsh_signature,
+        pq_lut,
+    )
+    from hoard_spark.artifacts import (
+        _join,
+        artifacts_root,
+        corpus_fingerprint,
+    )
+    from hoard_spark.fsutil import WarehouseFS
+    from hoard_spark.queries.llm import (
+        _ANN_STEP,
+        _EMB_DIM,
+        _RECALL_EPS,
+        _RECALL_QOFF,
+        _RECALL_RES,
+        _ANN_OFFSET,
+        _DOT,
+        _planted_index,
+        _q100_probe_keys,
+    )
+
+    sf_dir = SF_SMOKE
+    nprobe = 6
+    fs = WarehouseFS(spark)
+    path = _join(
+        artifacts_root(),
+        corpus_fingerprint(sf_dir, ("embeddings",), spark),
+        f"q100_probe_keys_np{nprobe}",
+    )
+    if fs.exists(path):
+        fs.rmtree(path)
+
+    table, cents, books = _planted_index(spark, sf_dir)
+    probe_src = (F.col("vec_id") < _ANN_OFFSET) & (
+        F.col("vec_id") % _ANN_STEP == _RECALL_RES
+    )
+    art = _q100_probe_keys(
+        spark, sf_dir, table, cents, books, nprobe, probe_src
+    )
+
+    # the pre-r14 expression form, verbatim
+    q_v = F.concat(
+        F.array(F.get("v", 0) + F.lit(_RECALL_EPS) * F.col("nrm")),
+        F.expr("slice(v, 2, size(v) - 1)"),
+    )
+    probes = (
+        table.where(probe_src)
+        .select(
+            (F.col("vec_id") + F.lit(_RECALL_QOFF)).alias("q_id"),
+            q_v.alias("q_v"),
+        )
+        .withColumn("q_nrm", F.sqrt(F.expr(_DOT.format(a="q_v", b="q_v"))))
+    )
+    H, BANDS = 16, 4
+    band_bits = H // BANDS
+    planes = hyperplanes(_EMB_DIM, h=H, seed=7)
+
+    def band_keys(sig):
+        return F.transform(
+            _bands(sig, BANDS, band_bits),
+            lambda b: b["band_i"].cast("long") * (1 << band_bits)
+            + b["band_v"],
+        )
+
+    def tagged(tag, key):
+        return F.struct(
+            F.lit(tag).alias("tag"), key.cast("long").alias("key")
+        )
+
+    pc = F.slice(
+        F.array_sort(
+            F.transform(
+                centroid_sims(cents, vec="q_v", nrm="q_nrm"),
+                lambda s, i: F.struct((-s).alias("ns"), i.alias("c_id")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    expr_pk = probes.select(
+        "q_id",
+        "q_v",
+        "q_nrm",
+        pq_lut(books).alias("lut"),
+        F.inline(
+            F.concat(
+                F.transform(pc, lambda c: tagged("pq", c["c_id"])),
+                F.transform(pc, lambda c: tagged("flt", c["c_id"])),
+                F.transform(
+                    band_keys(lsh_signature(planes, "q_v")),
+                    lambda k: tagged("lsh", k),
+                ),
+            )
+        ),
+    )
+
+    def rows_of(df):
+        return sorted(
+            (
+                r["q_id"],
+                tuple(r["q_v"]),
+                r["q_nrm"],
+                tuple(tuple(b) for b in r["lut"]),
+                r["tag"],
+                r["key"],
+            )
+            for r in df.collect()
+        )
+
+    got, want = rows_of(art), rows_of(expr_pk)
+    assert len(got) > 0 and got == want
+
+
 def test_q50_asof_plan_has_no_join(spark):
     """The as-of join must plan as a window over a union — one shuffle +
     one sort, never a join operator (the quadratic range-join shape)."""
