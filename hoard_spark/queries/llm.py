@@ -2947,25 +2947,39 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal — docs dominated by repeated n-grams are boilerplate)",
 )
 def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same shuffle-free zip-slice gram shape as shingle_rows_of but
-    WITHOUT the distinct — duplicates are the signal here (the r13
-    rewrite removed the posexplode+lead window's full token shuffle from
-    this family). One narrow explode, one per-doc hash aggregate; no
-    joins, so the plan is embarrassingly parallel at any corpus size."""
-    toks = F.split(F.trim("text"), " +")
-    zipped = F.arrays_zip(
-        *[F.slice(toks, 1 + i, F.size(toks) - 2) for i in range(3)]
+    """posexplode + window ``lead`` gram stream, REVERTED to this form
+    in r14 after the r13 zip-slice rewrite measured slower both ways
+    (driver r13: 0.63x; two same-window interleaved min-of-N A/Bs in
+    r14: 0.87-0.98 s window vs 1.45-1.53 s zip — VERDICT r13 item 3
+    ordered prove-or-revert). Why the window wins HERE and not in the
+    rest of the shingle family: q65's countDistinct plans as an
+    Expand + two-Exchange distinct aggregate over the gram rows, and
+    the window's doc_id partitioning is exactly the aggregate's
+    grouping, so the whole distinct pipeline runs partition-local after
+    ONE token Exchange (guide §2.4 — aggregation reuses the window's
+    partitioning), where the zip form pays both gram Exchanges plus the
+    per-row arrays_zip materialization. Both forms shuffle O(corpus)
+    bytes a constant number of times, so neither is scale-broken; the
+    measured evidence picks this one. Duplicates are the signal here
+    (no distinct before the aggregate); no joins."""
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t2 = F.lead("tok", 2).over(w)
     grams = (
-        load(spark, sf_dir, "documents")
-        .where(F.size(toks) >= 3)
-        .select("doc_id", F.explode(zipped).alias("_z"))
-        .select(
+        toks.select(
             "doc_id",
             F.concat_ws(
-                " ", F.col("_z")["0"], F.col("_z")["1"], F.col("_z")["2"]
+                " ", "tok", F.lead("tok", 1).over(w), t2
             ).alias("s"),
+            t2.alias("t2"),
         )
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", "s")
     )
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_grams")
     return (
@@ -3302,22 +3316,28 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hot word's fan-in is bounded by the distinct-bigram table,
     not token count; they broadcast here, and fall back to a shuffle
     dimension join when a giant vocab outgrows the broadcast budget.
-    The doc-side bigram stream is the same shuffle-free zip-slice shape
-    as the shingle family (r13: no token-shuffle window)."""
-    toks = F.split(F.trim("text"), " +")
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+    The doc-side bigram stream is the posexplode + window ``lead``
+    shape, REVERTED in r14 from the r13 zip-slice rewrite after it
+    measured slower both ways (driver r13: 0.84x; r14 same-window
+    interleaved A/B: 1.20/1.33 s window vs 1.64/1.87 s zip min/median
+    of 9 reps — the same §2.4 partitioning-reuse effect as q65: the
+    bigram-count aggregate and final per-doc aggregate both ride
+    behind the one token Exchange, while the zip form re-shuffles gram
+    rows and pays the arrays_zip materialization per row)."""
+    from pyspark.sql import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " +")).alias("pos", "tok"),
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
-        load(spark, sf_dir, "documents")
-        .where(F.size(toks) >= 2)
-        .select("doc_id", F.explode(zipped).alias("_z"))
-        .select(
+        toks.select(
             "doc_id",
-            F.col("_z")["0"].alias("w1"),
-            F.col("_z")["1"].alias("w2"),
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
         )
+        .where(F.col("w2").isNotNull())
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     ugc = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
