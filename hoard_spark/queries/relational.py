@@ -528,11 +528,22 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ntile().over(Window.orderBy(...))`` moves the ENTIRE table to one
     partition (WindowExec warns; fatal at 100 TB). Instead: range-
     partition on the (unique) order key, per-partition ``row_number``,
-    add broadcast cumulative partition offsets (a bounded
-    #partitions-row collect through the driver) to get the exact global
+    add broadcast cumulative partition offsets to get the exact global
     rank, then apply SQL NTILE's bucket arithmetic (first n%k buckets
     get one extra row) as a plain expression. Same values, fully
     parallel sort — the standard distributed global-ranking two-pass.
+
+    The offsets are derived IN-PLAN (r14): a prefix-sum window over the
+    #partitions-row count aggregate, broadcast-joined back — the prior
+    form collected the counts to the driver and rebuilt them as a
+    literal frame, paying an extra action barrier plus a JVM->Python
+    row round-trip per invocation (~0.3-0.5 s at sf0.1; guide §5: the
+    driver should do no data work). The single-partition prefix window
+    is bounded by #partitions rows, never data rows. The broadcast
+    subtree materializes first and fills the cache, so the final pass
+    reads the same materialized range partitioning — the cache remains
+    CORRECTNESS-critical (the range partitioner samples boundaries per
+    execution).
     """
     from pyspark.sql import Window
 
@@ -543,40 +554,41 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .repartitionByRange(npart, "o_totalprice", "o_orderkey")
         .withColumn("_pid", F.spark_partition_id())
-        # cache is CORRECTNESS-critical, not an optimization: the range
-        # partitioner samples boundaries per execution, so the counts
-        # action and the final action must see the same materialized
-        # partitioning or the offsets would describe different splits
         .transform(track_cache)
     )
-    cnts = {
-        r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    total, acc, offs = sum(cnts.values()), 0, {}
-    for pid in sorted(cnts):
-        offs[pid] = acc
-        acc += cnts[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(p, o) for p, o in offs.items()], "_pid int, _off long"
+    cw = Window.orderBy("_pid")
+    offs = (
+        parts.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("cnt").over(
+                    cw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("_off"),
+            F.sum("cnt")
+            .over(
+                cw.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_total"),
         )
     )
-    base, rem = divmod(total, k)
     w = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
-    r = (F.col("_off") + F.row_number().over(w)).alias("r")
-    big = rem * (base + 1)  # rows living in the size-(base+1) buckets
+    r = F.col("_off") + F.row_number().over(w)
+    base = F.floor(F.col("_total") / F.lit(k))
+    rem = F.col("_total") % F.lit(k)
+    big = rem * (base + F.lit(1))  # rows living in the size-(base+1) buckets
     quartile = (
-        F.when(F.col("r") <= F.lit(big), F.ceil(F.col("r") / F.lit(base + 1)))
-        .otherwise(
-            F.lit(rem)
-            + F.ceil((F.col("r") - F.lit(big)) / F.lit(max(base, 1)))
-        )
+        F.when(r <= big, F.ceil(r / (base + F.lit(1))))
+        .otherwise(rem + F.ceil((r - big) / F.greatest(base, F.lit(1))))
         .cast("long")
     )
     return (
-        parts.join(off_df, "_pid")
-        .select("o_orderkey", r)
+        parts.join(F.broadcast(offs), "_pid")
         .select("o_orderkey", quartile.alias("quartile"))
         .orderBy("o_orderkey")
     )
