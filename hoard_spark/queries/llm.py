@@ -508,9 +508,12 @@ def _neardup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-sized, and a Zipf-hot doc duplicates its array per
         # candidate exactly as the fan-out duplicated its rows — AQE
         # skew splitting applies the same either way.
+        # n_sh from the SAME deduplicated set the intersection reads
+        # (ADVICE r13 #1): with count(*) the two would silently disagree
+        # if a caller ever fed non-distinct rows; F.size costs nothing.
         sets = rows.groupBy("doc_id").agg(
-            F.collect_set("s").alias("ss"), F.count("*").alias("n_sh")
-        )
+            F.collect_set("s").alias("ss")
+        ).withColumn("n_sh", F.size("ss").cast("long"))
         sa = sets.select(
             F.col("doc_id").alias("a_id"),
             F.col("ss").alias("sa"),

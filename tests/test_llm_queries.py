@@ -821,8 +821,17 @@ def test_neardup_pair_build_matches_fanout_verify(spark):
     count): same candidates (the band stage is untouched), |A ∩ B| from
     array_intersect size equals the matched-row count, and the jaccard
     arithmetic is the same double expression — so the materialized
-    ``neardup_pairs`` artifact (q35's rows, q51's input) is unchanged."""
+    ``neardup_pairs`` artifact (q35's rows, q51's input) is unchanged.
+    The artifact is purged first so the test always exercises the
+    CURRENT build path, never a previously materialized parquet
+    (ADVICE r13 #2)."""
+    from hoard_spark.artifacts import (
+        _join,
+        artifacts_root,
+        corpus_fingerprint,
+    )
     from hoard_spark.cache import track_cache
+    from hoard_spark.fsutil import WarehouseFS
     from hoard_spark.queries.llm import (
         _minhash_bands,
         _neardup_pairs_table,
@@ -830,6 +839,14 @@ def test_neardup_pair_build_matches_fanout_verify(spark):
     )
 
     sf_dir = SF_T2
+    fs = WarehouseFS(spark)
+    stale = _join(
+        artifacts_root(),
+        corpus_fingerprint(sf_dir, ("documents",), spark),
+        "neardup_pairs",
+    )
+    if fs.exists(stale):
+        fs.rmtree(stale)
     new = _neardup_pairs_table(spark, sf_dir)
 
     rows = track_cache(_shingle_rows(spark, sf_dir).select("doc_id", "s"))
