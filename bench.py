@@ -88,12 +88,15 @@ NOTES = {
         "~90% of probes) — one oracle row per (probe, path). Sorts "
         "before q39, so ITS cold timing absorbs the ONE unified index "
         "build (labeled corpus incl. the filter alt-clones) that "
-        "q39/q91/q92/q99 then read as a parquet scan"
+        "q39/q91/q92/q99 then read as a parquet scan, plus its own "
+        "probe-key artifact build (r14: one numpy Arrow pass over the "
+        "probe rows)"
     ),
     "q24_ntile": (
-        "distributed two-pass exact NTILE (range partition + offset "
-        "arithmetic); pays one extra small job locally to avoid the "
-        "single-partition global window that cannot scale"
+        "distributed two-pass exact NTILE (range partition + in-plan "
+        "broadcast offset arithmetic); the correctness-critical cache "
+        "materialization replaces the single-partition global window "
+        "that cannot scale"
     ),
     "q35_minhash_neardup+scale_twin": _SCALE_TWIN_NOTE,
     "q51_dedup_clusters+scale_twin": _SCALE_TWIN_NOTE,
