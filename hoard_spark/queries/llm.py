@@ -476,10 +476,15 @@ def _neardup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hoard_spark.artifacts import get_or_build
 
     def build() -> DataFrame:
-        # persisted: read by the band builder AND the verify joins
-        rows = track_cache(
-            _shingle_rows(spark, sf_dir).select("doc_id", "s")
-        )
+        # read by the band builder AND the verify joins — but it is a
+        # PARQUET SCAN of the (already materialized) shingle artifact,
+        # so re-reading is cheaper than a cache fill + barrier (r14
+        # same-window A/B: min 1.70 vs 1.92 s, never slower in 6 reps;
+        # guide §5 — cache only when recompute beats memory pressure).
+        # Unlike rank_shingle_rows' input, there is no expensive build
+        # plan to accidentally inline twice: the leaf is columnar and
+        # prunable either way.
+        rows = _shingle_rows(spark, sf_dir).select("doc_id", "s")
         bands = _minhash_bands(rows)
         a = bands.select(
             F.col("doc_id").alias("a_id"), "band_id", "band_hash"
