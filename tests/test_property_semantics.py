@@ -105,7 +105,16 @@ def test_routing_lww_matches_model(spark, ladder, pts):
 @settings(
     max_examples=12,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # filter_too_much: the assume(c_from < c_to) below IS the documented
+    # precondition (plan_fetch raises on empty windows — tested
+    # separately), and for small-retention ladders it legitimately
+    # rejects a large slice of the (from_off, span) space; an unlucky
+    # seed can trip the health check before 12 good examples land
+    # (observed r14). The filter ratio is bounded, not pathological.
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.filter_too_much,
+    ],
 )
 @given(
     ladder=_ladders,

@@ -35,6 +35,9 @@ sys.path.insert(0, str(REPO))
 
 SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/hoard_sf10")
 BATCHES = 10
+# compact every N batches (0 = never, the r13 append-only curve); the
+# r14 re-run sets 3 to measure the operator-maintained store
+COMPACT_EVERY = int(os.environ.get("HOARD_COMPACT_EVERY", "0"))
 
 
 def _file_count(root: str) -> int:
@@ -84,7 +87,7 @@ def main() -> None:
     }
 
     def drive(name, index, table, id_col, n_rows, store_rows_fn, store_dir):
-        walls, sizes, files = [], [], []
+        walls, sizes, files, compact_secs = [], [], [], []
         step = (n_rows + BATCHES - 1) // BATCHES
         for b in range(BATCHES):
             lo, hi = b * step, min((b + 1) * step, n_rows)
@@ -94,6 +97,15 @@ def main() -> None:
             t = time.time()
             index.process_batch(batch, batch_id=b)
             walls.append(round(time.time() - t, 3))
+            # Operator-cadence maintenance (VERDICT r13 item 9): run the
+            # store's crash-safe compaction every COMPACT_EVERY batches,
+            # between batches as documented in streaming/compact.py, so
+            # the file-count curve shows the MAINTAINED store, not the
+            # append-only worst case. 0 = off (the r13 curve).
+            if COMPACT_EVERY and (b + 1) % COMPACT_EVERY == 0:
+                t = time.time()
+                index.compact()
+                compact_secs.append(round(time.time() - t, 3))
             sizes.append(store_rows_fn())
             files.append(_file_count(store_dir))
         base = sorted(walls[1:4])[1]  # median of batches 2-4
@@ -103,6 +115,12 @@ def main() -> None:
             "store_rows_after_batch": sizes,
             "store_files_after_batch": files,
             "last_over_median234": ratio,
+            **(
+                {"compact_every": COMPACT_EVERY,
+                 "compact_wall_sec": compact_secs}
+                if COMPACT_EVERY
+                else {}
+            ),
         }
         print(f"{name}: walls={walls} ratio={ratio} files={files[-1]}",
               flush=True)
@@ -155,7 +173,8 @@ def main() -> None:
         lambda: vd.signatures().count(), f"{root}/vectors",
     )
 
-    path = REPO / "tools" / "bench_streaming_sf10.json"
+    suffix = f"_compact{COMPACT_EVERY}" if COMPACT_EVERY else ""
+    path = REPO / "tools" / f"bench_streaming_sf10{suffix}.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
     shutil.rmtree(root, ignore_errors=True)
